@@ -1,0 +1,21 @@
+"""PriMIA-TPU: a TPU-native privacy-preserving medical imaging framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of PriMIA
+(gkaissis/PriMIA): federated training of CNN classifiers on chest X-rays
+with weighted FedAvg, MPC secure aggregation, DP-SGD, and end-to-end
+encrypted (SMPC) inference — expressed as sharded on-device simulation
+(node and party mesh axes) instead of a hooked-torch message-passing
+runtime.
+
+The MPC engine works in the ring Z_{2^64}. JAX's x64 mode is therefore
+enabled at import time; all framework code uses explicit dtypes so model
+compute stays in float32/bfloat16.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from primia_tpu.config import Arguments, read_worker_config  # noqa: E402,F401

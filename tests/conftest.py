@@ -1,0 +1,47 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's VirtualWorker strategy (SURVEY.md §4): the same
+code paths as real multi-chip execution, but simulated in one process.
+Must set the env vars BEFORE jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    """A tiny 3-class image-folder dataset (the 'minimal_server_folders'
+    analogue: 4 images per class, 3 classes, reference Makefile:37-38)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("xray_fixture")
+    rng = np.random.default_rng(0)
+    classes = ["bacterial pneumonia", "normal", "viral pneumonia"]
+    for split in ["train", "test"]:
+        for ci, cls in enumerate(classes):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                # class-dependent brightness so a model can actually learn
+                base = 40 + 60 * ci
+                arr = rng.integers(0, 80, (64, 64), dtype=np.uint8) + base
+                Image.fromarray(arr, mode="L").save(d / f"img_{i}.jpeg")
+    return root
