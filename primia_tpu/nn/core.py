@@ -1,0 +1,226 @@
+"""Engine-generic NN primitives.
+
+The reference makes one model definition run in plaintext, on remote
+pointers, and in MPC share-space by monkey-patching torch and chaining
+tensor wrappers (``syft/frameworks/torch/hook/hook.py:82-246``). That is
+anti-idiomatic under XLA. Here the architecture graph is written once
+against a small explicit *engine* protocol, and the engine decides how
+each op executes:
+
+- :data:`PLAIN` — jnp/XLA ops (float32/bfloat16), used for training and
+  plain inference.
+- ``primia_tpu.mpc.engine.MPC_ENGINE`` — the same ops over additive
+  secret shares in Z_{2^64} (fixed-point), used for encrypted inference.
+
+Data layout is NHWC (TPU-native); conv weights are HWIO; linear weights
+are (in, out). Parameters are nested dicts of arrays (a pytree).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ======================================================================
+# Plaintext engine
+# ======================================================================
+
+class PlainEngine:
+    """jnp-backed engine. All ops are jit-traceable pure functions."""
+
+    name = "plain"
+
+    @staticmethod
+    def conv2d(x, w, stride: int = 1, padding: int = 0):
+        """NHWC conv with HWIO weights, symmetric int padding."""
+        return jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    @staticmethod
+    def bias_add(x, b):
+        return x + b
+
+    @staticmethod
+    def affine(x, scale, offset):
+        """Channelwise y = x * scale + offset (inference-mode batch norm)."""
+        return x * scale + offset
+
+    @staticmethod
+    def relu(x):
+        return jnp.maximum(x, 0)
+
+    @staticmethod
+    def max_pool(x, window: int, stride: int, padding: int = 0):
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+            jax.lax.max,
+            window_dimensions=(1, window, window, 1),
+            window_strides=(1, stride, stride, 1),
+            padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        )
+
+    @staticmethod
+    def avg_pool(x, window: int, stride: int, padding: int = 0):
+        summed = jax.lax.reduce_window(
+            x,
+            jnp.zeros((), x.dtype),
+            jax.lax.add,
+            window_dimensions=(1, window, window, 1),
+            window_strides=(1, stride, stride, 1),
+            padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        )
+        # torch's AvgPool2d(count_include_pad=True) divides by window^2
+        # everywhere, which is what the reference model uses.
+        return summed / (window * window)
+
+    @staticmethod
+    def linear(x, w, b=None):
+        y = x @ w
+        if b is not None:
+            y = y + b
+        return y
+
+    @staticmethod
+    def add(x, y):
+        return x + y
+
+    @staticmethod
+    def flatten(x):
+        return x.reshape(x.shape[0], -1)
+
+    @staticmethod
+    def dropout(x, rate, key=None):
+        if key is None or rate == 0.0:
+            return x
+        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+PLAIN = PlainEngine()
+
+
+# ======================================================================
+# Batch norm (stateful; training path is plaintext-only)
+# ======================================================================
+
+def bn_init(c: int, dtype=jnp.float32) -> Tuple[Params, Params]:
+    params = {"gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+    state = {
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+        # torch tracks num_batches; the reference's secure aggregation
+        # explicitly skips this key (torchlib/utils.py:1049)
+        "count": jnp.zeros((), jnp.int64),
+    }
+    return params, state
+
+
+def bn_fold(params: Params, state: Params, eps: float = 1e-5) -> Params:
+    """Fold trained BN into an inference-mode channelwise affine.
+
+    Done in plaintext by the model owner before sharing — replaces the
+    reference's private Newton inverse-sqrt batch norm
+    (``syft/frameworks/torch/nn/functional.py:44-77``) with an exact
+    offline computation.
+    """
+    inv = params["gamma"] / jnp.sqrt(state["var"] + eps)
+    return {"scale": inv, "offset": params["beta"] - state["mean"] * inv}
+
+
+def batch_norm(
+    E,
+    x,
+    params: Optional[Params],
+    state: Optional[Params],
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+):
+    """Apply batch norm; returns (y, new_state).
+
+    * ``train=True``: plaintext only — batch statistics, running-stat
+      update with torch momentum semantics (new = (1-m)*old + m*batch).
+    * ``train=False``: if params contain a pre-folded {scale, offset}
+      (MPC path), apply the engine affine; else compute the affine from
+      running stats.
+    """
+    if params is not None and "scale" in params:
+        return E.affine(x, params["scale"], params["offset"]), state
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axes)
+        var = jnp.var(x, axes)
+        n = x.size // x.shape[-1]
+        inv = params["gamma"] * jax.lax.rsqrt(var + eps)
+        y = (x - mean) * inv + params["beta"]
+        # torch stores the *unbiased* variance in running stats
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "count": state["count"] + 1,
+        }
+        return y, new_state
+    inv = params["gamma"] * jax.lax.rsqrt(state["var"] + eps)
+    y = E.affine(x, inv, params["beta"] - state["mean"] * inv)
+    return y, state
+
+
+# ======================================================================
+# Initializers (torch-equivalent)
+# ======================================================================
+
+def kaiming_normal_conv(key, kh, kw, cin, cout, dtype=jnp.float32):
+    """He-normal, fan_out mode, relu gain — reference models.py:409-411."""
+    fan_out = kh * kw * cout
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def torch_linear_init(key, cin, cout, dtype=jnp.float32):
+    """torch.nn.Linear default: U(-1/sqrt(in), 1/sqrt(in)) for w and b."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    w = jax.random.uniform(k1, (cin, cout), dtype, -bound, bound)
+    b = jax.random.uniform(k2, (cout,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def torch_conv_init(key, kh, kw, cin, cout, bias=True, dtype=jnp.float32):
+    """torch.nn.Conv2d default init (uniform, fan_in)."""
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * cin
+    bound = 1.0 / math.sqrt(fan_in)
+    out = {"w": jax.random.uniform(k1, (kh, kw, cin, cout), dtype, -bound, bound)}
+    if bias:
+        out["b"] = jax.random.uniform(k2, (cout,), dtype, -bound, bound)
+    return out
+
+
+# ======================================================================
+# Pytree helpers
+# ======================================================================
+
+def param_count(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def tree_cast(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )

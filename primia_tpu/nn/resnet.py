@@ -1,0 +1,159 @@
+"""ResNet-18/34 with the reference's MPC-compatibility quirks.
+
+Mirrors PriMIA ``torchlib/models.py:345-516``:
+- configurable stem pooling (max or avg, 3x3/s2/p1) via ``pooling_type``;
+- **fixed** ``AvgPool(input_size / 32)`` head instead of adaptive pooling
+  (``adptpool=False`` in the reference — adaptive pools don't exist in
+  share space);
+- 1- or 3-channel stem, final fc replaced with ``num_classes`` outputs;
+- optional pool<->relu swap in the stem used by encrypted inference to
+  quarter the number of private ReLUs (``inference.py:289``) — valid
+  because max-pool and ReLU commute.
+
+Written once against the engine protocol (see ``primia_tpu.nn.core``);
+the same graph runs in plaintext and over secret shares.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from primia_tpu.nn import core
+from primia_tpu.nn.core import PLAIN, batch_norm, bn_init, kaiming_normal_conv, torch_linear_init
+
+
+def _conv(key, kh, kw, cin, cout, dtype):
+    return {"w": kaiming_normal_conv(key, kh, kw, cin, cout, dtype)}
+
+
+def _basic_block_init(key, cin, planes, stride, dtype):
+    ks = jax.random.split(key, 3)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["conv1"] = _conv(ks[0], 3, 3, cin, planes, dtype)
+    p["bn1"], s["bn1"] = bn_init(planes, dtype)
+    p["conv2"] = _conv(ks[1], 3, 3, planes, planes, dtype)
+    p["bn2"], s["bn2"] = bn_init(planes, dtype)
+    if stride != 1 or cin != planes:
+        p["down_conv"] = _conv(ks[2], 1, 1, cin, planes, dtype)
+        p["down_bn"], s["down_bn"] = bn_init(planes, dtype)
+    return p, s
+
+
+def resnet_init(
+    key,
+    layers: List[int],
+    num_classes: int = 3,
+    in_channels: int = 3,
+    dtype=jnp.float32,
+) -> Tuple[Dict, Dict]:
+    ks = jax.random.split(key, 6)
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    params["conv1"] = _conv(ks[0], 7, 7, in_channels, 64, dtype)
+    params["bn1"], state["bn1"] = bn_init(64, dtype)
+    cin = 64
+    for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512), layers)):
+        stride = 1 if li == 0 else 2
+        bkeys = jax.random.split(ks[1 + li], blocks)
+        bp, bs = [], []
+        for bi in range(blocks):
+            p, s = _basic_block_init(
+                bkeys[bi], cin if bi == 0 else planes, planes, stride if bi == 0 else 1, dtype
+            )
+            bp.append(p)
+            bs.append(s)
+            cin = planes
+        params[f"layer{li + 1}"] = bp
+        state[f"layer{li + 1}"] = bs
+    params["fc"] = torch_linear_init(ks[5], 512, num_classes, dtype)
+    return params, state
+
+
+def _basic_block_forward(p, s, x, *, E, train, stride):
+    identity = x
+    out = E.conv2d(x, p["conv1"]["w"], stride=stride, padding=1)
+    out, s1 = batch_norm(E, out, p["bn1"], s.get("bn1"), train)
+    out = E.relu(out)
+    out = E.conv2d(out, p["conv2"]["w"], stride=1, padding=1)
+    out, s2 = batch_norm(E, out, p["bn2"], s.get("bn2"), train)
+    new_s = {"bn1": s1, "bn2": s2}
+    if "down_conv" in p:
+        identity = E.conv2d(x, p["down_conv"]["w"], stride=stride, padding=0)
+        identity, sd = batch_norm(E, identity, p["down_bn"], s.get("down_bn"), train)
+        new_s["down_bn"] = sd
+    out = E.add(out, identity)
+    out = E.relu(out)
+    return out, new_s
+
+
+def resnet_forward(
+    params,
+    state,
+    x,
+    *,
+    E=PLAIN,
+    train: bool = False,
+    layers: List[int] = (2, 2, 2, 2),
+    pooling: str = "max",
+    input_size: int = 224,
+    swap_pool_relu: bool = False,
+    rng=None,
+):
+    """Returns (logits, new_state). x is NHWC."""
+    del rng  # no dropout in resnet
+    w1 = params["conv1"]["w"]
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(w1.dtype)  # x64 mode makes f64 the default literal dtype
+    new_state: Dict[str, Any] = {}
+    out = E.conv2d(x, w1, stride=2, padding=3)
+    out, new_state["bn1"] = batch_norm(E, out, params["bn1"], state.get("bn1"), train)
+
+    def stem_pool(t):
+        if pooling == "max":
+            return E.max_pool(t, window=3, stride=2, padding=1)
+        return E.avg_pool(t, window=3, stride=2, padding=1)
+
+    if swap_pool_relu:
+        # pool before relu: 4x fewer private ReLU elements under MPC;
+        # identical output for max pooling (relu/maxpool commute).
+        out = stem_pool(out)
+        out = E.relu(out)
+    else:
+        out = E.relu(out)
+        out = stem_pool(out)
+
+    for li, blocks in enumerate(layers):
+        lname = f"layer{li + 1}"
+        lstate = []
+        for bi in range(blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            bs = state.get(lname)
+            out, ns = _basic_block_forward(
+                params[lname][bi],
+                bs[bi] if bs is not None else {},
+                out,
+                E=E,
+                train=train,
+                stride=stride,
+            )
+            lstate.append(ns)
+        new_state[lname] = lstate
+
+    # fixed (input/32) average pool, reference models.py:402-406 adptpool=False
+    win = input_size // 32
+    out = E.avg_pool(out, window=win, stride=win, padding=0)
+    out = E.flatten(out)
+    out = E.linear(out, params["fc"]["w"], params["fc"]["b"])
+    return out, new_state
+
+
+def resnet18_init(key, num_classes=3, in_channels=3, dtype=jnp.float32):
+    return resnet_init(key, [2, 2, 2, 2], num_classes, in_channels, dtype)
+
+
+def resnet18_forward(params, state, x, **kw):
+    return resnet_forward(params, state, x, layers=(2, 2, 2, 2), **kw)

@@ -1,0 +1,210 @@
+"""Core batched image ops: bilinear warping, histograms, CLAHE, resize.
+
+These are the device-side building blocks of the augmentation pipeline
+(reference: ``torchlib/dataloader.py:138-217`` builds a torchvision +
+albumentations CPU chain; here every transform is a batched jnp/XLA op
+so the whole pipeline fuses into the training step on TPU).
+
+Conventions: images are NHWC float32 in [0, 1] unless stated otherwise;
+warps use inverse mapping with bilinear sampling and zero fill.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------- sampling
+
+def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample one HWC image at float coords (ys, xs) [shape (H', W')].
+
+    Out-of-bounds samples return 0 (zero fill, matching the reference's
+    affine fill).
+    """
+    H, W, C = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        vals = img[yc, xc]  # (H', W', C)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse-affine warp. imgs (B,H,W,C); mats (B,2,3) maps
+    OUTPUT pixel coords (x, y, 1) -> input coords, centered at the image
+    center (torchvision RandomAffine convention)."""
+    B, H, W, C = imgs.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - cy
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) - cx
+
+    def one(img, m):
+        sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] + cx
+        sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] + cy
+        return bilinear_sample(img, sy, sx)
+
+    return jax.vmap(one)(imgs, mats)
+
+
+def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+    """Batched dense warp: sample input at (y + dy, x + dx).
+
+    dy/dx: (B, H, W) float displacement fields in pixels.
+    """
+    B, H, W, C = imgs.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    def one(img, fy, fx):
+        return bilinear_sample(img, ys + fy, xs + fx)
+
+    return jax.vmap(one)(imgs, dy, dx)
+
+
+def resize_bilinear(imgs: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    B, H, W, C = imgs.shape
+    return jax.image.resize(imgs, (B, size[0], size[1], C), method="bilinear")
+
+
+# -------------------------------------------------------------- histograms
+
+def _u8_histogram(flat_u8: jnp.ndarray) -> jnp.ndarray:
+    """256-bin histogram of a flattened uint8/int32 array via one-hot sum."""
+    oh = jax.nn.one_hot(flat_u8, 256, dtype=jnp.float32)
+    return jnp.sum(oh, axis=tuple(range(flat_u8.ndim)))
+
+
+def equalize(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Global histogram equalization per image per channel ([0,1] float)."""
+    B, H, W, C = imgs.shape
+    u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.int32)
+
+    def one_channel(ch):  # (H, W) int32
+        hist = _u8_histogram(ch.reshape(-1))
+        cdf = jnp.cumsum(hist)
+        total = cdf[-1]
+        cdf_min = cdf[jnp.argmax(hist > 0)]
+        lut = jnp.clip(
+            jnp.round((cdf - cdf_min) / jnp.maximum(total - cdf_min, 1.0) * 255.0),
+            0, 255,
+        )
+        return lut[ch]
+
+    out = jax.vmap(jax.vmap(one_channel, in_axes=2, out_axes=2))(u8)
+    return out.astype(imgs.dtype) / 255.0
+
+
+def clahe(
+    imgs: jnp.ndarray,
+    clip_limit: float = 1.0,
+    tiles: int = 8,
+) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization (batched).
+
+    OpenCV-style: per-tile clipped histograms -> per-tile LUTs ->
+    bilinear interpolation between the four neighbouring tile LUTs.
+    Requires H and W divisible by ``tiles`` (true for 224/512 inputs).
+    Operates on [0,1] float, luminance-style per channel.
+
+    Reference pipeline applies ``a.CLAHE(clip_limit=(1,1))`` on uint8
+    (``torchlib/dataloader.py:152-157``).
+    """
+    B, H, W, C = imgs.shape
+    th, tw = H // tiles, W // tiles
+    u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.int32)
+
+    def one_channel(ch):  # (H, W) int32
+        t = ch.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)  # (T,T,th,tw)
+        oh = jax.nn.one_hot(t.reshape(tiles, tiles, -1), 256, dtype=jnp.float32)
+        hist = jnp.sum(oh, axis=2)  # (T, T, 256)
+        # clip & redistribute (OpenCV semantics: limit = clip*avg)
+        limit = jnp.maximum(clip_limit * (th * tw) / 256.0, 1.0)
+        excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
+        hist = jnp.minimum(hist, limit) + excess / 256.0
+        cdf = jnp.cumsum(hist, axis=-1)
+        luts = jnp.clip(jnp.round(cdf / (th * tw) * 255.0), 0, 255)  # (T,T,256)
+
+        # bilinear interpolation between tile LUTs at every pixel
+        ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        fy = (ys - th / 2.0) / th
+        fx = (xs - tw / 2.0) / tw
+        y0 = jnp.clip(jnp.floor(fy), 0, tiles - 1).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(fx), 0, tiles - 1).astype(jnp.int32)
+        y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+        x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+        wy = jnp.clip(fy - y0, 0.0, 1.0)
+        wx = jnp.clip(fx - x0, 0.0, 1.0)
+
+        def lut_at(ty, tx):
+            return luts[ty, tx, ch]  # advanced indexing -> (H, W)
+
+        v00 = lut_at(y0, x0)
+        v01 = lut_at(y0, x1)
+        v10 = lut_at(y1, x0)
+        v11 = lut_at(y1, x1)
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    out = jax.vmap(jax.vmap(one_channel, in_axes=2, out_axes=2))(u8)
+    return out.astype(imgs.dtype) / 255.0
+
+
+# ------------------------------------------------------------------ blur
+
+def box_blur(imgs: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Depthwise box blur with reflect-ish edge handling (same-size)."""
+    B, H, W, C = imgs.shape
+    k = jnp.ones((ksize, ksize, 1, 1), imgs.dtype) / (ksize * ksize)
+    pad = ksize // 2
+    x = jnp.moveaxis(imgs, -1, 1).reshape(B * C, 1, H, W)
+    y = jax.lax.conv_general_dilated(
+        x, jnp.transpose(k, (3, 2, 0, 1)),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.moveaxis(y.reshape(B, C, H, W), 1, -1)
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur_field(field: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
+    """Separable gaussian blur of a (B, H, W) scalar field."""
+    k = gaussian_kernel1d(sigma, radius)
+    B, H, W = field.shape
+    x = field[:, None]  # (B,1,H,W)
+    kx = k.reshape(1, 1, 1, -1)
+    ky = k.reshape(1, 1, -1, 1)
+    pad = radius
+    x = jax.lax.conv_general_dilated(
+        x, kx, (1, 1), ((0, 0), (pad, pad)), dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, ky, (1, 1), ((pad, pad), (0, 0)), dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[:, 0]
