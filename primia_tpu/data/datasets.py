@@ -1,0 +1,277 @@
+"""Host-side image ingest and dataset classes.
+
+The reference builds on torchvision's ImageFolder with an
+extension-dispatched loader (``torchlib/dataloader.py:55-135``) and runs
+PIL/albumentations transforms per image per epoch on CPU. The TPU-first
+redesign splits the pipeline:
+
+* **host (this module)**: decode (PIL / our DICOM parser) + square resize
+  to ``inference_resolution`` once, in a thread pool, into a single
+  contiguous uint8 ``(N, R, R, C)`` array, and
+* **device** (``primia_tpu.ops.augment``): crop/augment/normalize as one
+  batched XLA program per training step.
+
+All dataset classes expose ``.materialize(resolution) -> (images, labels)``
+with images uint8 NHWC numpy; labels are int32 (or None for unlabeled
+``PathDataset``).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from primia_tpu.data.dicom import DicomLoader
+
+PIL_EXTENSIONS = {
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp",
+}
+DICOM_EXTENSIONS = {".dcm", ".dicom"}
+
+
+def pil_loader(path: Union[str, Path], channels: int = 3) -> np.ndarray:
+    """Decode an image file to HWC uint8 with the requested channel count.
+
+    channels=3 mirrors torchvision's ``default_loader`` (RGB convert);
+    channels=1 mirrors the reference ``single_channel_loader``
+    (``torchlib/dataloader.py:247-253``).
+    """
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        img = img.convert("RGB" if channels == 3 else "L")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+class CombinedLoader:
+    """Extension-dispatched decode: PIL formats + DICOM.
+
+    Mirrors reference ``CombinedLoader`` (``torchlib/dataloader.py:55-135``)
+    including ``change_channels``. Output is HWC uint8 numpy.
+    """
+
+    def __init__(self, channels: int = 3):
+        if channels not in (1, 3):
+            raise RuntimeError("Only 1 or 3 channels supported yet.")
+        self.channels = channels
+        self.dicom = DicomLoader(channels)
+
+    @property
+    def extensions(self) -> Set[str]:
+        return PIL_EXTENSIONS | DICOM_EXTENSIONS
+
+    def change_channels(self, num_channels: int) -> None:
+        if num_channels not in (1, 3):
+            raise RuntimeError("Only 1 or 3 channels supported yet.")
+        self.channels = num_channels
+        self.dicom = DicomLoader(num_channels)
+
+    def __call__(self, path: Union[str, Path]) -> np.ndarray:
+        ext = os.path.splitext(str(path))[1].lower()
+        if ext in PIL_EXTENSIONS:
+            return pil_loader(path, self.channels)
+        if ext in DICOM_EXTENSIONS:
+            return self.dicom(path)
+        raise RuntimeError(
+            "file extension does not match specified supported extensions: "
+            f"{ext}"
+        )
+
+
+def _resize_square(arr: np.ndarray, resolution: int) -> np.ndarray:
+    """Square bilinear resize (albumentations ``Resize(R, R)`` analogue)."""
+    h, w, c = arr.shape
+    if h == resolution and w == resolution:
+        return arr
+    img = Image.fromarray(arr if c == 3 else arr[:, :, 0])
+    img = img.resize((resolution, resolution), Image.BILINEAR)
+    out = np.asarray(img, dtype=np.uint8)
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
+def _decode_many(
+    paths: Sequence[Union[str, Path]],
+    loader: Callable[[Union[str, Path]], np.ndarray],
+    resolution: int,
+    channels: int,
+) -> np.ndarray:
+    """Decode + resize a list of files in parallel into (N, R, R, C) uint8."""
+    out = np.empty((len(paths), resolution, resolution, channels), np.uint8)
+
+    def work(i):
+        out[i] = _resize_square(loader(paths[i]), resolution)
+
+    if len(paths) > 1:
+        with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4)) as ex:
+            list(ex.map(work, range(len(paths))))
+    elif paths:
+        work(0)
+    return out
+
+
+class Dataset:
+    """Minimal dataset protocol: paths + labels, materialized on demand."""
+
+    paths: List[str]
+    labels: Optional[np.ndarray]  # int32 (N,) or None
+    classes: Optional[List[str]]
+    channels: int = 3
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def materialize(self, resolution: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        loader = CombinedLoader(self.channels)
+        imgs = _decode_many(self.paths, loader, resolution, self.channels)
+        return imgs, self.labels
+
+    def class_counts(self) -> np.ndarray:
+        if self.labels is None:
+            raise ValueError("unlabeled dataset")
+        n = int(self.labels.max()) + 1 if len(self.labels) else 0
+        return np.bincount(self.labels, minlength=n).astype(np.int64)
+
+
+class ImageFolderDataset(Dataset):
+    """root/<class_name>/<image> layout, classes sorted alphabetically
+    (torchvision ImageFolder contract, used throughout the reference)."""
+
+    def __init__(self, root: Union[str, Path], channels: int = 3):
+        root = Path(root)
+        if not root.is_dir():
+            raise FileNotFoundError(f"dataset root {root} does not exist")
+        self.root = str(root)
+        self.channels = channels
+        exts = PIL_EXTENSIONS | DICOM_EXTENSIONS
+        self.classes = sorted(
+            d.name for d in root.iterdir() if d.is_dir() and not d.name.startswith(".")
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        paths, labels = [], []
+        for cls in self.classes:
+            for f in sorted((root / cls).iterdir()):
+                if (
+                    f.suffix.lower() in exts
+                    and not f.name.startswith("._")
+                    and f.is_file()
+                ):
+                    paths.append(str(f))
+                    labels.append(self.class_to_idx[cls])
+        self.paths = paths
+        self.labels = np.asarray(labels, np.int32)
+
+
+class PathDataset(Dataset):
+    """Flat directory of images, unlabeled — the inference-data layout
+    (reference ``PathDataset``, ``torchlib/dataloader.py:264-303``)."""
+
+    def __init__(self, root: Union[str, Path], channels: int = 3):
+        root = Path(root)
+        exts = PIL_EXTENSIONS | DICOM_EXTENSIONS
+        self.root = str(root)
+        self.channels = channels
+        self.classes = None
+        self.labels = None
+        self.paths = [
+            str(f)
+            for f in sorted(root.iterdir())
+            if f.suffix.lower() in exts and not f.name.lower().startswith("._")
+        ]
+
+
+class ImageFolderFromCSV(Dataset):
+    """Images in one folder, labels from the pediatric-pneumonia metadata
+    CSV (reference ``ImageFolderFromCSV``, ``torchlib/dataloader.py:317-368``:
+    Normal -> 0, bacterial -> 1, viral -> 2, unknown rows dropped)."""
+
+    def __init__(self, csv_path, img_folder_path, channels: int = 1):
+        import pandas as pd
+
+        self.channels = channels
+        self.classes = ["normal", "bacterial pneumonia", "viral pneumonia"]
+        meta = pd.read_csv(csv_path)
+
+        def to_class(row):
+            if row["Label"] == "Normal":
+                return 0
+            if row["Label"] == "Pnemonia":  # typo is in the original CSV
+                if row["Label_1_Virus_category"] == "bacteria":
+                    return 1
+                if row["Label_1_Virus_category"] == "Virus":
+                    return 2
+            return -1
+
+        lab = dict(zip(meta.X_ray_image_name, meta.apply(to_class, axis=1)))
+        paths, labels = [], []
+        for f in sorted(os.listdir(img_folder_path)):
+            if f.startswith("."):
+                continue
+            if f not in lab:
+                raise AssertionError(f"img label not known {f}")
+            if lab[f] == -1:
+                continue
+            paths.append(os.path.join(img_folder_path, f))
+            labels.append(lab[f])
+        self.paths = paths
+        self.labels = np.asarray(labels, np.int32)
+
+
+class PPPP(Dataset):
+    """Label-CSV dataset over data/{train,test} (reference ``PPPP``,
+    ``torchlib/dataloader.py:371-425``)."""
+
+    def __init__(self, label_path="data/Labels.csv", train=False, channels: int = 1):
+        import pandas as pd
+
+        self.channels = channels
+        self.classes = ["normal", "bacterial pneumonia", "viral pneumonia"]
+        labels = pd.read_csv(label_path)
+        labels = labels[labels["Dataset_type"] == ("TRAIN" if train else "TEST")]
+        base = os.path.join(os.path.dirname(str(label_path)), "train" if train else "test")
+        self.paths = [
+            os.path.join(base, name) for name in labels["X_ray_image_name"]
+        ]
+        self.labels = labels["Numeric_Label"].to_numpy(np.int32)
+
+    def get_class_occurances(self) -> Dict[int, int]:
+        vals, counts = np.unique(self.labels, return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist()))
+
+
+class Subset(Dataset):
+    """Index-subset view (reference ``Subset``, ``dataloader.py:428-437``)."""
+
+    def __init__(self, dataset: Dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+        self.channels = dataset.channels
+        self.classes = dataset.classes
+        self.paths = [dataset.paths[i] for i in self.indices]
+        self.labels = (
+            dataset.labels[self.indices] if dataset.labels is not None else None
+        )
+
+
+def random_split(dataset: Dataset, lengths: Sequence[int], seed: int = 0):
+    """Shuffled split with torch.random_split semantics
+    (reference ``dataloader.py:440-450``)."""
+    if sum(lengths) != len(dataset):
+        raise ValueError(
+            "Sum of input lengths does not equal the length of the input dataset!"
+        )
+    rng = np.random.default_rng(seed)
+    indices = rng.permutation(sum(lengths))
+    out, offset = [], 0
+    for length in lengths:
+        out.append(Subset(dataset, indices[offset : offset + length]))
+        offset += length
+    return out

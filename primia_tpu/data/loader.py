@@ -1,0 +1,97 @@
+"""Batch iteration + dataset statistics.
+
+Replaces the reference's torch DataLoader + per-image CPU transforms
+(``torchlib/dataloader.py:220-247`` for ``calc_mean_std``; batch loops in
+``torchlib/utils.py:1236-1292``). Materialized uint8 arrays live in host
+RAM; batches are sliced as numpy and transferred to device by the jitted
+step. Final partial batches are padded to the fixed batch size with a
+validity mask so every step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    images: np.ndarray  # (B, R, R, C) uint8
+    labels: Optional[np.ndarray]  # (B,) int32 or None
+    mask: np.ndarray  # (B,) float32; 0 for padding rows
+
+
+def calc_mean_std(
+    images_u8: np.ndarray, sample_limit: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std of a uint8 NHWC array, over [0, 1] floats.
+
+    Matches the reference ``calc_mean_std`` (``torchlib/dataloader.py:220``):
+    statistics of the ToTensor'd dataset, std with Bessel's correction
+    (torch ``std_mean`` default).
+    """
+    import jax.numpy as jnp
+
+    x = images_u8
+    if sample_limit is not None and len(x) > sample_limit:
+        idx = np.linspace(0, len(x) - 1, sample_limit).astype(np.int64)
+        x = x[idx]
+    xf = jnp.asarray(x, jnp.float32) / 255.0
+    axes = (0, 1, 2)
+    mean = jnp.mean(xf, axes)
+    n = xf.size // xf.shape[-1]
+    var = jnp.var(xf, axes) * (n / max(n - 1, 1))
+    return np.asarray(mean), np.asarray(jnp.sqrt(var))
+
+
+class BatchLoader:
+    """Shuffling fixed-shape batch iterator over materialized arrays."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: Optional[np.ndarray],
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        pad_final: bool = True,
+        drop_last: bool = False,
+    ):
+        self.images = images
+        self.labels = labels
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.pad_final = pad_final
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.images)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.images)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.images)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        self._epoch += 1
+        B = self.batch_size
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * B : (b + 1) * B]
+            imgs = self.images[idx]
+            labs = self.labels[idx] if self.labels is not None else None
+            mask = np.ones(len(idx), np.float32)
+            if len(idx) < B and self.pad_final:
+                pad = B - len(idx)
+                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+                if labs is not None:
+                    labs = np.concatenate([labs, np.zeros(pad, labs.dtype)])
+                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+            yield Batch(imgs, labs, mask)

@@ -2,13 +2,17 @@
 
 Mirrors the reference's VirtualWorker strategy (SURVEY.md §4): the same
 code paths as real multi-chip execution, but simulated in one process.
-Must set the env vars BEFORE jax is imported anywhere.
+
+This environment pre-imports jax via sitecustomize and pins the platform
+to the axon TPU tunnel through ``jax.config`` (which overrides the
+``JAX_PLATFORMS`` env var), so we must (a) set XLA_FLAGS before any
+backend initializes and (b) force the platform through jax.config, not
+the environment.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
