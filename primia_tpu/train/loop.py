@@ -1,0 +1,201 @@
+"""The training driver: datasets -> steps -> epochs -> checkpoints.
+
+Re-creates the control flow of the reference ``train.py:54-552`` (local
+path; the federated path plugs in through ``primia_tpu.parallel``):
+
+- deterministic seeding, experiment naming, dataset + stats,
+- initial eval, epoch loop with LR schedule,
+- eval every ``test_interval`` epochs -> checkpoint per eval,
+- best model by Matthews coefficient (last occurrence of the max),
+  copied to ``model_weights/final_<exp>.pt``, others deleted,
+- run registry CSV append.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from primia_tpu.config import Arguments
+from primia_tpu.data import BatchLoader, ImageFolderDataset, calc_mean_std, random_split
+from primia_tpu.nn import create_model
+from primia_tpu.train import checkpoint as ckpt
+from primia_tpu.train import metrics as M
+from primia_tpu.train.losses import calc_class_weights
+from primia_tpu.train.lr import make_scheduler
+from primia_tpu.train.optim import make_optimizer
+from primia_tpu.train.steps import TrainState, build_eval_step, build_train_step
+
+
+def load_train_val(args: Arguments, verbose: bool = True):
+    """Datasets + normalization stats for the local path
+    (reference ``train.py:130-193``): train = ImageFolder(data_dir),
+    val = sibling ``test`` folder when present, else a
+    ``validation_split`` percent holdout."""
+    channels = 1 if (args.data_dir == "mnist" or not args.pretrained) else 3
+    train_ds = ImageFolderDataset(args.data_dir, channels=channels)
+    assert len(train_ds.classes) == 3, (
+        "Dataset must have exactly 3 classes: normal, bacterial and viral"
+    )
+    test_dir = Path(args.data_dir).parent / "test"
+    if test_dir.is_dir():
+        val_ds = ImageFolderDataset(test_dir, channels=channels)
+    else:
+        n = len(train_ds)
+        n_val = max(int(n / args.validation_split), 1)
+        train_ds, val_ds = random_split(train_ds, [n - n_val, n_val], seed=args.seed)
+
+    train_imgs, train_labels = train_ds.materialize(args.inference_resolution)
+    val_imgs, val_labels = val_ds.materialize(args.inference_resolution)
+    mean, std = calc_mean_std(train_imgs)
+    class_names = train_ds.classes
+    return (train_imgs, train_labels, val_imgs, val_labels, mean, std, class_names)
+
+
+def run_eval(eval_step, params, model_state, loader, epoch, class_names,
+             verbose=True):
+    """One full validation pass -> (loss, objective=100*MCC); prints the
+    stats table (reference ``test``, ``utils.py:1354-1467``)."""
+    losses, preds, targets, scores, masks = [], [], [], [], []
+    for batch in loader:
+        loss, logits = eval_step(params, model_state, batch.images, batch.labels,
+                                 batch.mask)
+        losses.append(float(loss))
+        keep = batch.mask > 0
+        logits = np.asarray(logits)[keep]
+        preds.append(logits.argmax(1))
+        scores.append(logits)
+        targets.append(batch.labels[keep])
+    preds = np.concatenate(preds)
+    targets = np.concatenate(targets)
+    scores = np.concatenate(scores)
+    test_loss = float(np.mean(losses))
+    m = M.evaluate_predictions(targets, preds, scores)
+    if verbose:
+        print(
+            M.stats_table(
+                m["conf_matrix"], m["report"], roc_auc=m["roc_auc"],
+                matthews_coeff=m["matthews_coeff"], class_names=class_names,
+                epoch=epoch,
+            )
+        )
+    return test_loss, m["objective"]
+
+
+def main(args: Arguments, verbose: bool = True, optuna_trial=None,
+         cmd_args=None, weights_dir: str = "model_weights") -> float:
+    if args.train_federated:
+        from primia_tpu.parallel.federated import main_federated
+
+        return main_federated(args, verbose=verbose, optuna_trial=optuna_trial,
+                              weights_dir=weights_dir)
+
+    timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    exp_name = "{:s}_{:s}_{:s}".format(
+        "federated" if args.train_federated else "vanilla",
+        args.data_dir.replace("/", ""),
+        timestamp,
+    )
+
+    (train_imgs, train_labels, val_imgs, val_labels, mean, std,
+     class_names) = load_train_val(args, verbose)
+    num_classes = len(class_names)
+
+    model_def = create_model(args, num_classes=num_classes)
+    key = jax.random.PRNGKey(args.seed if args.deterministic else int.from_bytes(os.urandom(4), "little"))
+    key, init_key = jax.random.split(key)
+    params, model_state = model_def.init(init_key)
+
+    cw = calc_class_weights(train_labels, num_classes) if args.weight_classes else None
+    optimizer = make_optimizer(args)
+    opt_state = optimizer.init(params)
+    ts = TrainState(params, model_state, opt_state)
+    scheduler = make_scheduler(args)
+
+    start_at_epoch = 1
+    if args.resume_checkpoint:
+        state = ckpt.load_model(args.resume_checkpoint)
+        start_at_epoch = int(state["epoch"]) + 1
+        msd = state["model_state_dict"]
+        ts = TrainState(msd["params"], msd["state"], state["optim_state_dict"])
+        if verbose:
+            print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
+
+    train_step = build_train_step(model_def, optimizer, args, mean, std, cw)
+    eval_step = build_eval_step(model_def, args, mean, std, cw)
+
+    train_loader = BatchLoader(
+        train_imgs, train_labels, args.batch_size, shuffle=True, seed=args.seed,
+        pad_final=False,
+    )
+    val_loader = BatchLoader(
+        val_imgs, val_labels, args.test_batch_size, shuffle=False, pad_final=True
+    )
+
+    run_eval(eval_step, ts.params, ts.model_state, val_loader, start_at_epoch - 1,
+             class_names, verbose)
+
+    matthews_scores, model_paths = [], []
+    os.makedirs(weights_dir, exist_ok=True)
+    for epoch in range(start_at_epoch, args.epochs + 1):
+        lr = scheduler.get_lr(epoch - 1)
+        avg_loss = []
+        for batch in train_loader:
+            key, sk = jax.random.split(key)
+            ts, loss = train_step(ts, sk, batch.images, batch.labels, lr)
+            avg_loss.append(loss)
+        if verbose:
+            print("Train Epoch: {} \tLoss: {:.6f}".format(
+                epoch, float(np.mean([float(l) for l in avg_loss]))))
+
+        if (epoch % args.test_interval) == 0:
+            _, matthews = run_eval(
+                eval_step, ts.params, ts.model_state, val_loader, epoch,
+                class_names, verbose,
+            )
+            model_path = os.path.join(
+                weights_dir, "{:s}_epoch_{:03d}.pt".format(
+                    exp_name, epoch * (args.repetitions_dataset or 1)
+                )
+            )
+            if optuna_trial is not None:
+                optuna_trial.report(matthews, epoch * (args.repetitions_dataset or 1))
+                if optuna_trial.should_prune():
+                    from primia_tpu.train.hpo import TrialPruned
+
+                    raise TrialPruned()
+            ckpt.save_model(
+                model_path, epoch=epoch, params=ts.params,
+                model_state=ts.model_state, opt_state=ts.opt_state, args=args,
+                val_mean_std=(mean, std),
+            )
+            matthews_scores.append(matthews)
+            model_paths.append(model_path)
+
+    # last occurrence of the highest score wins (reference train.py:519-533)
+    rev = np.array(matthews_scores)[::-1]
+    best_score_idx = int(np.argmax(rev))
+    highest_score = len(rev) - best_score_idx - 1
+    best_epoch = (highest_score + 1) * args.test_interval
+    best_model_file = model_paths[highest_score]
+    if verbose:
+        print(
+            "Highest matthews coefficient was {:.1f}% in epoch {:d}".format(
+                rev[best_score_idx],
+                best_epoch * (args.repetitions_dataset if args.train_federated else 1),
+            )
+        )
+    shutil.copyfile(
+        best_model_file, os.path.join(weights_dir, f"final_{exp_name}.pt")
+    )
+    if args.save_file:
+        ckpt.save_config_results(args, float(rev[best_score_idx]), timestamp)
+    for p in model_paths:
+        os.remove(p)
+    return float(rev[best_score_idx])
