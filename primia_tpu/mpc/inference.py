@@ -1,0 +1,94 @@
+"""Encrypted (SMPC) inference — workload 5.
+
+Reference flow (``inference.py:279-321``): the model owner fixes
+precision and shares the model, the data owner shares each image, the
+parties run the whole forward in share space (2 compute parties +
+crypto provider), and only the logits are revealed.
+
+TPU redesign: the parties live on a leading party axis; the entire
+pipeline — BN fold, fixed-point encode, share split, the share-space
+forward (Beaver convs, DCF ReLUs, tournament max-pools) and the final
+reveal — is ONE jitted XLA program. The pool<->relu swap
+(``inference.py:289``) is applied exactly as in the reference: pooling
+first quarters the number of private ReLU elements.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from primia_tpu.mpc import fixed
+from primia_tpu.mpc.engine import (
+    MpcContext,
+    MpcEngine,
+    encode_and_share,
+    reveal_and_decode,
+)
+from primia_tpu.nn.core import bn_fold
+
+
+def fold_bn_tree(params, state, eps: float = 1e-5):
+    """Replace every {gamma, beta} BN subtree with its folded inference
+    affine {scale, offset} using the matching running stats."""
+    if isinstance(params, dict):
+        if set(params.keys()) == {"gamma", "beta"}:
+            return bn_fold(params, state, eps)
+        return {
+            k: fold_bn_tree(v, state.get(k) if isinstance(state, dict) else None, eps)
+            for k, v in params.items()
+        }
+    if isinstance(params, list):
+        return [
+            fold_bn_tree(p, state[i] if state is not None else None, eps)
+            for i, p in enumerate(params)
+        ]
+    return params
+
+
+def build_encrypted_predict(
+    model_def,
+    args,
+    mean,
+    std,
+    *,
+    precision_fractional: int = fixed.DEFAULT_FRAC_BITS,
+    seed: int = 0,
+    swap_pool_relu: bool = True,
+):
+    """Returns jitted ``predict(params, model_state, images_u8) -> logits``
+    running the forward over secret shares; signature-compatible with the
+    plain ``build_predict_step``."""
+    frac = precision_fractional
+    mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    use_clahe = bool(args.clahe)
+    # max pooling commutes with relu; avg does not — only swap for max
+    swap = swap_pool_relu and model_def.pooling == "max"
+
+    def predict(params, model_state, images_u8):
+        key = jax.random.PRNGKey(seed)
+        k_model, k_data, k_online = jax.random.split(key, 3)
+
+        # model owner: fold BN, fix precision, share
+        folded = fold_bn_tree(params, model_state)
+        shared_params = encode_and_share(k_model, folded, frac)
+
+        # data owner: preprocess in plaintext, then share
+        x = images_u8.astype(jnp.float32) / 255.0
+        if use_clahe:
+            from primia_tpu.ops.image import clahe
+
+            x = clahe(x, clip_limit=1.0, tiles=8)
+        x = (x - mean_a) / std_a
+        x_shared = encode_and_share(k_data, x, frac)
+
+        E = MpcEngine(MpcContext(k_online, frac))
+        logits_shared, _ = model_def.forward(
+            shared_params, {}, x_shared, E=E, train=False, swap_pool_relu=swap
+        )
+        return reveal_and_decode(logits_shared, frac).astype(jnp.float32)
+
+    return jax.jit(predict)

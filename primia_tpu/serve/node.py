@@ -1,0 +1,334 @@
+"""Grid node server — the reference's ``python -m Node`` re-thought.
+
+The reference node (``Node/__main__.py``, ``Node/app/__init__.py``) is a
+Flask + gevent-websocket + SQLAlchemy server that executes arbitrary
+syft tensor commands message-by-message. Here the node is a *data and
+compute endpoint* with a small typed RPC surface (msgpack frames over a
+WebSocket, plus an HTTP POST fallback — the reference's
+``--http_protocol`` escape hatch, ``data_centric_fl_client.py:150-213``):
+
+- ``status``                       -> identity + hosted tags
+- ``search [tags]``                -> matching tags
+- ``get_obj tag``                  -> hosted arrays (e.g. #datamean)
+- ``get_data_shares tag seed``     -> 2-party additive shares of the
+  node's data in the fixed-point ring: what leaves the node for
+  encrypted inference is a share stream, never the plaintext
+- ``train_round params config``    -> run local training steps on the
+  node's own shard, return updated params + batch count: raw data never
+  leaves the node in federated training (true to the reference's
+  pointer semantics, without the per-op message storm — one RPC per
+  round instead of one per tensor op)
+
+Boot-time data hosting mirrors ``Node/app/__init__.py:235-388``:
+a data_owner hosts ``#inference_data``; a training worker hosts
+``#traindata/#traintargets/#datamean/#datastd``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from primia_tpu.serve.protocol import pack, unpack
+
+
+class GridNode:
+    def __init__(self, node_id: str, data_directory: Optional[str] = None,
+                 config: Optional[str] = None, mean_std_file: Optional[str] = None,
+                 inference_resolution: int = 224, channels: int = 1):
+        self.id = node_id
+        self.store: Dict[str, np.ndarray] = {}
+        self.config_path = config
+        self.inference_resolution = inference_resolution
+        self.channels = channels
+        if config:
+            from primia_tpu.config import Arguments
+
+            self.args = Arguments.from_ini(config, mode="train")
+            self.inference_resolution = self.args.inference_resolution
+            self.channels = 1 if not self.args.pretrained else 3
+        else:
+            self.args = None
+        if data_directory:
+            self._host_data(Path(data_directory), mean_std_file)
+
+    def _host_data(self, data_dir: Path, mean_std_file: Optional[str]):
+        from primia_tpu.data import (
+            ImageFolderDataset,
+            PathDataset,
+            calc_mean_std,
+        )
+
+        has_classes = any(p.is_dir() for p in data_dir.iterdir())
+        if self.id == "data_owner" or not has_classes:
+            ds = PathDataset(data_dir, channels=self.channels)
+            imgs, _ = ds.materialize(self.inference_resolution)
+            self.store["#inference_data"] = imgs
+            if mean_std_file:
+                ms = np.load(mean_std_file)
+                self.store["#datamean"], self.store["#datastd"] = ms["mean"], ms["std"]
+        else:
+            ds = ImageFolderDataset(data_dir, channels=self.channels)
+            imgs, labels = ds.materialize(self.inference_resolution)
+            mean, std = calc_mean_std(imgs)
+            self.store["#traindata"] = imgs
+            self.store["#traintargets"] = labels
+            self.store["#datamean"] = np.asarray(mean)
+            self.store["#datastd"] = np.asarray(std)
+
+    # ------------------------------------------------------------ handlers
+
+    def handle(self, msg: dict) -> dict:
+        op = msg.get("type")
+        if op == "status":
+            return {"id": self.id, "tags": sorted(self.store)}
+        if op == "search":
+            q = msg.get("query", [])
+            return {"results": [t for t in self.store if t in q or not q]}
+        if op == "get_obj":
+            tag = msg["tag"]
+            if tag not in self.store:
+                return {"error": f"no object tagged {tag}"}
+            return {"tag": tag, "array": self.store[tag]}
+        if op == "load_data":
+            self.store[msg["tag"]] = msg["array"]
+            return {"ok": True}
+        if op == "delete_obj":
+            self.store.pop(msg["tag"], None)
+            return {"ok": True}
+        if op == "get_data_shares":
+            return self._get_data_shares(msg)
+        if op == "train_round":
+            return self._train_round(msg)
+        return {"error": f"unknown message type {op!r}"}
+
+    def _get_data_shares(self, msg: dict) -> dict:
+        """Fixed-point encode + 2-party split of a hosted tensor; only
+        the requested party's share leaves (a deployment hands each
+        party its own stream)."""
+        import jax
+
+        from primia_tpu.mpc import fixed, shares as S
+
+        tag = msg.get("tag", "#inference_data")
+        party = int(msg.get("party", -1))
+        if tag not in self.store:
+            return {"error": f"no object tagged {tag}"}
+        data = self.store[tag]
+        if data.dtype == np.uint8:  # normalize with hosted stats if present
+            x = data.astype(np.float32) / 255.0
+            if "#datamean" in self.store:
+                m = self.store["#datamean"].reshape(1, 1, 1, -1)
+                s = self.store["#datastd"].reshape(1, 1, 1, -1)
+                x = (x - m) / s
+        else:
+            x = data
+        frac = int(msg.get("frac_bits", fixed.DEFAULT_FRAC_BITS))
+        key = jax.random.PRNGKey(int(msg.get("seed", 0)))
+        sh = S.share(key, fixed.encode(x, frac))
+        arr = np.asarray(sh.data)
+        if party in (0, 1):
+            return {"tag": tag, "share": arr[party], "party": party, "frac_bits": frac}
+        return {"tag": tag, "shares": arr, "frac_bits": frac}
+
+    def _train_round(self, msg: dict) -> dict:
+        """Local training steps on the node's shard (federated ws mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from primia_tpu.config import Arguments
+        from primia_tpu.data import BatchLoader
+        from primia_tpu.nn import create_model
+        from primia_tpu.train.optim import make_optimizer
+        from primia_tpu.train.steps import TrainState, build_train_step
+
+        if "#traindata" not in self.store:
+            return {"error": "node hosts no training data"}
+        args = Arguments.from_dict(json.loads(msg["args"]))
+        params = msg["params"]
+        n_steps = int(msg["n_steps"])
+        lr = float(msg["lr"])
+        seed = int(msg.get("seed", 0))
+
+        model_def = create_model(args, num_classes=int(msg.get("num_classes", 3)))
+        optimizer = make_optimizer(args)
+        mean = self.store["#datamean"]
+        std = self.store["#datastd"]
+        step = build_train_step(model_def, optimizer, args, mean, std, donate=False)
+
+        tree_params = _unflatten(params)
+        model_state = _unflatten(msg["model_state"])
+        ts = TrainState(tree_params, model_state, optimizer.init(tree_params))
+        loader = BatchLoader(self.store["#traindata"], self.store["#traintargets"],
+                             args.batch_size, shuffle=True, seed=seed, pad_final=True)
+        key = jax.random.PRNGKey(seed)
+        it = iter(loader)
+        losses = []
+        for _ in range(n_steps):
+            try:
+                b = next(it)
+            except StopIteration:
+                it = iter(loader)
+                b = next(it)
+            key, sk = jax.random.split(key)
+            ts, loss = step(ts, sk, b.images, b.labels, b.mask, lr)
+            losses.append(float(loss))
+        return {
+            "params": _flatten(jax.tree.map(np.asarray, ts.params)),
+            "model_state": _flatten(jax.tree.map(np.asarray, ts.model_state)),
+            "n_batches": len(loader),
+            "loss": float(np.mean(losses)),
+        }
+
+
+def _flatten(tree) -> dict:
+    """pytree -> {path_str: ndarray} for the wire."""
+    import jax
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        out[jax.tree_util.keystr(path)] = np.asarray(leaf)
+    return out
+
+
+def _unflatten(flat: dict):
+    """Inverse of _flatten for dict/list trees keyed like "['a'][0]['b']"."""
+    root: dict = {}
+    for path_str, leaf in flat.items():
+        keys = []
+        for part in path_str.strip("[]").split("]["):
+            part = part.strip()
+            if part.startswith("'") or part.startswith('"'):
+                keys.append(part.strip("'\""))
+            else:
+                keys.append(int(part))
+        node = root
+        for a, b in zip(keys, keys[1:]):
+            nxt = node.get(a) if isinstance(node, dict) else (
+                node[a] if a < len(node) else None)
+            if nxt is None:
+                nxt = [] if isinstance(b, int) else {}
+                if isinstance(node, dict):
+                    node[a] = nxt
+                else:
+                    while len(node) <= a:
+                        node.append(None)
+                    node[a] = nxt
+            node = nxt
+        last = keys[-1]
+        if isinstance(node, list):
+            while len(node) <= last:
+                node.append(None)
+            node[last] = leaf
+        else:
+            node[last] = leaf
+    return _lists(root)
+
+
+def _lists(node):
+    if isinstance(node, dict):
+        return {k: _lists(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_lists(v) for v in node]
+    return node
+
+
+# ======================================================================
+# transports
+# ======================================================================
+
+class NodeServer:
+    """WebSocket (primary) + HTTP POST (fallback) front-ends over one
+    GridNode, mirroring the reference's dual transports."""
+
+    def __init__(self, node: GridNode, host: str = "127.0.0.1", port: int = 8777):
+        self.node = node
+        self.host = host
+        self.port = port
+        self._ws_server = None
+        self._http_server = None
+        self._threads = []
+
+    def _ws_handler(self, ws):
+        for frame in ws:
+            try:
+                reply = self.node.handle(unpack(frame))
+            except Exception as e:  # serialized back like websocket_server.py:126
+                reply = {"error": f"{type(e).__name__}: {e}"}
+            ws.send(pack(reply))
+
+    def start(self):
+        from websockets.sync.server import serve
+
+        self._ws_server = serve(self._ws_handler, self.host, self.port)
+        t = threading.Thread(target=self._ws_server.serve_forever, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+        node = self.node
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                length = int(self.headers.get("Content-Length", 0))
+                frame = self.rfile.read(length)
+                try:
+                    reply = node.handle(unpack(frame))
+                except Exception as e:
+                    reply = {"error": f"{type(e).__name__}: {e}"}
+                body = pack(reply)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802  (status/identity endpoint)
+                body = json.dumps(node.handle({"type": "status"})).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self._http_server = ThreadingHTTPServer((self.host, self.port + 1000), Handler)
+        t2 = threading.Thread(target=self._http_server.serve_forever, daemon=True)
+        t2.start()
+        self._threads.append(t2)
+        return self
+
+    def stop(self):
+        if self._ws_server:
+            self._ws_server.shutdown()
+        if self._http_server:
+            self._http_server.shutdown()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="primia-tpu grid node")
+    parser.add_argument("--id", type=str, required=True)
+    parser.add_argument("--port", type=int, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--data_directory", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--mean_std_file", type=str, default=None)
+    a = parser.parse_args(argv)
+    node = GridNode(a.id, a.data_directory, a.config, a.mean_std_file)
+    server = NodeServer(node, a.host, a.port).start()
+    print(f"node {a.id} serving ws://{a.host}:{a.port} "
+          f"(http fallback :{a.port + 1000})", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,12 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         if verbose:
             print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
 
-    train_step = build_train_step(model_def, optimizer, args, mean, std, cw)
+    if args.differentially_private:
+        from primia_tpu.train.dp import build_dp_train_step
+
+        train_step = build_dp_train_step(model_def, optimizer, args, mean, std, cw)
+    else:
+        train_step = build_train_step(model_def, optimizer, args, mean, std, cw)
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
     train_loader = BatchLoader(
@@ -148,11 +153,21 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         avg_loss = []
         for batch in train_loader:
             key, sk = jax.random.split(key)
-            ts, loss = train_step(ts, sk, batch.images, batch.labels, lr)
+            ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
             avg_loss.append(loss)
         if verbose:
             print("Train Epoch: {} \tLoss: {:.6f}".format(
                 epoch, float(np.mean([float(l) for l in avg_loss]))))
+        if args.differentially_private and verbose:
+            from primia_tpu.train.dp import rdp_epsilon
+
+            eps, alpha = rdp_epsilon(
+                noise_multiplier=args.noise_multiplier,
+                sample_rate=min(args.batch_size / max(len(train_imgs), 1), 1.0),
+                steps=epoch * len(train_loader),
+                delta=args.target_delta,
+            )
+            print(f"(eps = {eps:.2f}, delta = {args.target_delta}) at alpha = {alpha}")
 
         if (epoch % args.test_interval) == 0:
             _, matthews = run_eval(

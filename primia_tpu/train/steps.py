@@ -44,12 +44,16 @@ def uses_onehot_loss(args) -> bool:
 
 
 def build_train_step(model_def, optimizer, args, mean, std,
-                     class_weights: Optional[np.ndarray] = None):
-    """Returns jitted ``step(ts, key, images_u8, labels, lr) -> (ts, loss)``.
+                     class_weights: Optional[np.ndarray] = None,
+                     donate: bool = True):
+    """Returns jitted ``step(ts, key, images_u8, labels, mask, lr)
+    -> (ts, loss)``.
 
     ``images_u8``: (B, inference_res, inference_res, C) uint8 —
     augmentation, mixup, forward, backward, and the optimizer update run
-    as one compiled program.
+    as one compiled program. ``mask`` zeroes padded rows' loss (padded
+    rows do still enter BN batch stats — only the final partial batch
+    is affected; the local path passes unpadded batches).
     """
     cfg = AugmentConfig.from_args(args)
     augment = build_augment_fn(cfg, mean, std, model_def.in_channels)
@@ -57,7 +61,7 @@ def build_train_step(model_def, optimizer, args, mean, std,
     onehot = uses_onehot_loss(args)
     nc = model_def.num_classes
 
-    def step(ts: TrainState, key, images_u8, labels, lr):
+    def step(ts: TrainState, key, images_u8, labels, mask, lr):
         k_aug, k_mix = jax.random.split(key)
         x = augment(k_aug, images_u8)
         y_oh = losses.to_one_hot(labels, nc)
@@ -69,16 +73,20 @@ def build_train_step(model_def, optimizer, args, mean, std,
         def loss_fn(p):
             logits, new_ms = model_def.forward(p, ts.model_state, x, train=True)
             if onehot:
-                loss = losses.cross_entropy_one_hot(logits, y_oh, weight=w)
+                loss = losses.cross_entropy_one_hot(logits, y_oh, weight=w,
+                                                    sample_mask=mask)
             else:
-                loss = losses.cross_entropy(logits, labels, weight=w)
+                loss = losses.cross_entropy(logits, labels, weight=w,
+                                            sample_mask=mask)
             return loss, new_ms
 
         (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         new_p, new_opt = optimizer.update(grads, ts.opt_state, ts.params, lr)
         return TrainState(new_p, new_ms, new_opt), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    # the federated driver keeps the pre-step state alive for masking, so
+    # donation must be optional
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def build_eval_step(model_def, args, mean, std,

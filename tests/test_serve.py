@@ -1,0 +1,156 @@
+"""Serve layer: protocol round-trip, node RPCs over real ws + HTTP
+transports, remote train_round, and share fetching."""
+
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from primia_tpu.serve.protocol import pack, unpack
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_protocol_roundtrip():
+    msg = {
+        "type": "x", "n": 3, "f": 1.5, "s": "hi",
+        "arr": np.arange(12, dtype=np.int64).reshape(3, 4),
+        "nested": {"a": np.ones(5, np.float32)},
+    }
+    out = unpack(pack(msg))
+    assert out["type"] == "x" and out["n"] == 3
+    np.testing.assert_array_equal(out["arr"], msg["arr"])
+    np.testing.assert_array_equal(out["nested"]["a"], msg["nested"]["a"])
+
+
+def test_protocol_compresses_large():
+    big = {"arr": np.zeros(100000, np.float64)}
+    frame = pack(big)
+    assert frame[:1] == b"Z" and len(frame) < 100000
+
+
+def test_flatten_unflatten_tree():
+    from primia_tpu.serve.node import _flatten, _unflatten
+
+    tree = {"a": [{"w": np.ones((2, 2))}, {"w": np.zeros(3)}],
+            "fc": {"b": np.arange(4.0)}}
+    back = _unflatten(_flatten(tree))
+    assert isinstance(back["a"], list) and len(back["a"]) == 2
+    np.testing.assert_array_equal(back["a"][0]["w"], tree["a"][0]["w"])
+    np.testing.assert_array_equal(back["fc"]["b"], tree["fc"]["b"])
+
+
+@pytest.fixture(scope="module")
+def node_server(fixture_dir):
+    from primia_tpu.serve.node import GridNode, NodeServer
+
+    node = GridNode("worker1", data_directory=str(fixture_dir / "train"),
+                    inference_resolution=28, channels=1)
+    port = _free_port()
+    server = NodeServer(node, port=port).start()
+    yield node, port
+    server.stop()
+
+
+def test_node_hosts_training_data(node_server):
+    node, _ = node_server
+    assert set(node.store) == {"#traindata", "#traintargets", "#datamean", "#datastd"}
+    assert node.store["#traindata"].shape == (12, 28, 28, 1)
+
+
+def test_ws_roundtrip(node_server):
+    from primia_tpu.serve.client import NodeClient
+
+    node, port = node_server
+    c = NodeClient("worker1", "127.0.0.1", port)
+    st = c.status()
+    assert st["id"] == "worker1" and "#traindata" in st["tags"]
+    arr = c.get_obj("#traindata")
+    np.testing.assert_array_equal(arr, node.store["#traindata"])
+    c.close()
+
+
+def test_http_fallback(node_server):
+    from primia_tpu.serve.client import NodeClient
+
+    node, port = node_server
+    c = NodeClient("worker1", "127.0.0.1", port, http_only=True)
+    arr = c.get_obj("#datamean")
+    np.testing.assert_allclose(arr, node.store["#datamean"])
+
+
+def test_grid_search(node_server):
+    from primia_tpu.serve.client import GridNetwork, NodeClient
+
+    node, port = node_server
+    g = GridNetwork([NodeClient("worker1", "127.0.0.1", port)])
+    found = g.search("#traindata")
+    assert found == {"worker1": ["#traindata"]}
+    assert g.search("#nope") == {}
+
+
+def test_get_data_shares_reconstruct(node_server):
+    from primia_tpu.serve.client import NodeClient
+    from primia_tpu.mpc import fixed
+
+    node, port = node_server
+    c = NodeClient("worker1", "127.0.0.1", port)
+    out = c.send({"type": "get_data_shares", "tag": "#traindata", "party": -1,
+                  "seed": 3})
+    shares = out["shares"]
+    assert shares.shape[0] == 2 and shares.dtype == np.int64
+    recon = shares[0] + shares[1]
+    # node normalizes with hosted stats before sharing
+    m = node.store["#datamean"].reshape(1, 1, 1, -1)
+    s = node.store["#datastd"].reshape(1, 1, 1, -1)
+    want = (node.store["#traindata"].astype(np.float32) / 255.0 - m) / s
+    np.testing.assert_allclose(recon / 2.0 ** 16, want, atol=1e-4)
+    # single-party fetch reveals nothing reconstructable
+    one = c.send({"type": "get_data_shares", "tag": "#traindata", "party": 0,
+                  "seed": 3})
+    assert one["share"].shape == node.store["#traindata"].shape
+    c.close()
+
+
+def test_remote_train_round(node_server, fixture_dir):
+    """Federated-over-network: a round of local training runs ON the
+    node; only parameters cross the wire."""
+    import jax
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.nn import create_model
+    from primia_tpu.serve.client import NodeClient
+    from primia_tpu.serve.node import _flatten, _unflatten
+
+    node, port = node_server
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, batch_size=4, optimizer="SGD",
+                     momentum=0.0, lr=0.01)
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    c = NodeClient("worker1", "127.0.0.1", port)
+    out = c.send({
+        "type": "train_round",
+        "args": args.to_json(),
+        "params": _flatten(jax.tree.map(np.asarray, params)),
+        "model_state": _flatten(jax.tree.map(np.asarray, state)),
+        "n_steps": 2, "lr": 0.01, "seed": 1, "num_classes": 3,
+    })
+    assert "error" not in out, out.get("error")
+    assert out["n_batches"] == 3
+    new_params = _unflatten(out["params"])
+    # parameters actually moved
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, params)),
+                        jax.tree.leaves(new_params))
+    )
+    assert moved
+    c.close()
