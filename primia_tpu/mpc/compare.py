@@ -37,30 +37,49 @@ _HALF = jnp.uint32(1 << 31)
 
 class CompareKeys(NamedTuple):
     r: AShare          # (2, N) int64 mask shares
-    keys_q: DcfKeys    # DCF at q = r mod 2^32
-    keys_p: DcfKeys    # DCF at p = (r + 2^31) mod 2^32
+    keys_qp: DcfKeys   # ONE DCF key batch over concat(q, p):
+                       #   q = r mod 2^32, p = (r + 2^31) mod 2^32
     c: AShare          # (2, N) int64 shares of 1{p >= q}
 
 
 def gen_compare(key, n: int) -> CompareKeys:
-    """Dealer phase for a batch of n sign extractions."""
-    k_r, k_q, k_p, k_sr, k_sc = jax.random.split(key, 5)
+    """Dealer phase for a batch of n sign extractions.
+
+    Both DCF instances (at q and at p) are generated as ONE batch of 2n
+    keys — a single 32-level scan instead of two (fewer, larger kernels
+    for both compile time and TPU utilization)."""
+    k_r, k_qp, k_sr, k_sc = jax.random.split(key, 4)
     r = S.rand_ring(k_r, (n,))
     q = r.astype(jnp.uint32)
     p = q + _HALF  # mod 2^32 automatic in uint32
-    one = jnp.ones((n,), jnp.int64)
-    keys_q = dcf_gen(k_q, q, one)
-    keys_p = dcf_gen(k_p, p, one)
+    ones = jnp.ones((2 * n,), jnp.int64)
+    keys_qp = dcf_gen(k_qp, jnp.concatenate([q, p]), ones)
     c = (p >= q).astype(jnp.int64)
-    return CompareKeys(S.share(k_sr, r), keys_q, keys_p, S.share(k_sc, c))
+    return CompareKeys(S.share(k_sr, r), keys_qp, S.share(k_sc, c))
 
 
 def msb(x: AShare, ck: CompareKeys) -> AShare:
-    """Shares of 1{x < 0} for a flat (N,) sharing."""
+    """Shares of 1{x < 0} for a flat (N,) sharing.
+
+    Both parties x both DCF points run as ONE mixed-party batched eval
+    (4N lanes, one scan): lane layout [party0|party1] x [q|p]."""
+    n = x.shape[-1]
     x_hat = S.reconstruct(S.add(x, ck.r)).astype(jnp.uint32)  # opening
-    v0 = dcf_eval(0, ck.keys_q, x_hat) - dcf_eval(0, ck.keys_p, x_hat)
-    v1 = dcf_eval(1, ck.keys_q, x_hat) - dcf_eval(1, ck.keys_p, x_hat)
-    return AShare(jnp.stack([v0, v1]) + ck.c.data)
+    xs = jnp.tile(x_hat, 4)                      # (4N,)
+    # tile each key field's batch axis (2n -> 4n). Key layout per field:
+    #   seeds (2, 2n, 4); s_cw (nbits, 2n, 4); t_cw (nbits, 2n, 2);
+    #   v_cw (nbits, 2n); last_cw (2n,)
+    keys4 = DcfKeys(
+        seeds=jnp.tile(ck.keys_qp.seeds, (1, 2, 1)),
+        s_cw=jnp.tile(ck.keys_qp.s_cw, (1, 2, 1)),
+        t_cw=jnp.tile(ck.keys_qp.t_cw, (1, 2, 1)),
+        v_cw=jnp.tile(ck.keys_qp.v_cw, (1, 2)),
+        last_cw=jnp.tile(ck.keys_qp.last_cw, 2),
+    )
+    party_vec = jnp.repeat(jnp.arange(2, dtype=jnp.uint32), 2 * n)
+    v = dcf_eval(party_vec, keys4, xs)           # (4N,)
+    vq0, vp0, vq1, vp1 = v[:n], v[n : 2 * n], v[2 * n : 3 * n], v[3 * n :]
+    return AShare(jnp.stack([vq0 - vp0, vq1 - vp1]) + ck.c.data)
 
 
 def sign_shares(key, x: AShare) -> AShare:

@@ -74,16 +74,15 @@ def dcf_gen(key, alpha, beta, n_bits: int = N_BITS_DEFAULT) -> DcfKeys:
     N = alpha.shape[0]
     seeds = jax.random.bits(key, (2, N, 4), jnp.uint32)
 
-    s0, s1 = seeds[0], seeds[1]
-    t0 = jnp.zeros((N,), jnp.uint32)
-    t1 = jnp.ones((N,), jnp.uint32)
-    v_alpha = jnp.zeros((N,), jnp.int64)
+    abits = jnp.stack(
+        [_alpha_bit(alpha, i, n_bits) for i in range(n_bits)]
+    )  # (n, N)
 
-    s_cws, t_cws, v_cws = [], [], []
-    for i in range(n_bits):
+    def level(carry, a):
+        s0, s1, t0, t1, v_alpha = carry
         sL0, tL0, vL0, sR0, tR0, vR0 = expand(s0)
         sL1, tL1, vL1, sR1, tR1, vR1 = expand(s1)
-        a = _alpha_bit(alpha, i, n_bits)  # keep = R if a==1 else L
+        # keep = R if a==1 else L
 
         s_lose0 = _sel(a, sR0, sL0)  # a==0 -> lose = R ; a==1 -> lose = L
         s_lose1 = _sel(a, sR1, sL1)
@@ -110,33 +109,45 @@ def dcf_gen(key, alpha, beta, n_bits: int = N_BITS_DEFAULT) -> DcfKeys:
 
         s0 = s_keep0 ^ _sel(jnp.uint32(1) - t0, s_cw, jnp.zeros_like(s_cw))
         s1 = s_keep1 ^ _sel(jnp.uint32(1) - t1, s_cw, jnp.zeros_like(s_cw))
-        t0_new = t_keep0 ^ (t0 * t_cw_keep)
-        t1_new = t_keep1 ^ (t1 * t_cw_keep)
-        t0, t1 = t0_new, t1_new
+        t0 = t_keep0 ^ (t0 * t_cw_keep)
+        t1 = t_keep1 ^ (t1 * t_cw_keep)
 
-        s_cws.append(s_cw)
-        t_cws.append(jnp.stack([t_cw_L, t_cw_R], axis=-1))
-        v_cws.append(v_cw)
+        out = (s_cw, jnp.stack([t_cw_L, t_cw_R], axis=-1), v_cw)
+        return (s0, s1, t0, t1, v_alpha), out
+
+    carry0 = (
+        seeds[0],
+        seeds[1],
+        jnp.zeros((N,), jnp.uint32),
+        jnp.ones((N,), jnp.uint32),
+        jnp.zeros((N,), jnp.int64),
+    )
+    (s0, s1, t0, t1, v_alpha), (s_cw, t_cw, v_cw) = jax.lax.scan(
+        level, carry0, abits
+    )
 
     sign1 = jnp.where(t1 == 1, jnp.int64(-1), jnp.int64(1))
     conv0 = words_to_ring(s0[..., :2])
     conv1 = words_to_ring(s1[..., :2])
     last_cw = sign1 * (conv1 - conv0 - v_alpha)
 
-    return DcfKeys(
-        seeds=seeds,
-        s_cw=jnp.stack(s_cws),
-        t_cw=jnp.stack(t_cws),
-        v_cw=jnp.stack(v_cws),
-        last_cw=last_cw,
-    )
+    return DcfKeys(seeds=seeds, s_cw=s_cw, t_cw=t_cw, v_cw=v_cw, last_cw=last_cw)
 
 
-def dcf_eval(party: int, keys: DcfKeys, x, n_bits: int = N_BITS_DEFAULT):
-    """Party b's additive share of beta * 1{x < alpha}; x: (N,) uint32."""
+def dcf_eval(party, keys: DcfKeys, x, n_bits: int = N_BITS_DEFAULT):
+    """Party b's additive share of beta * 1{x < alpha}; x: (N,) uint32.
+
+    ``party`` is a Python int (0/1) or a (N,) array of 0/1 — the array
+    form evaluates a mixed-party batch in ONE scan (used to fuse both
+    parties' online evals into a single kernel)."""
     x = jnp.asarray(x, jnp.uint32)
     N = x.shape[0]
-    sign_b = jnp.int64(1) if party == 0 else jnp.int64(-1)
+    if isinstance(party, int):
+        party_u = jnp.full((N,), jnp.uint32(party))
+        sign_b = jnp.int64(1 - 2 * party)
+    else:
+        party_u = jnp.asarray(party, jnp.uint32)
+        sign_b = (1 - 2 * party_u.astype(jnp.int64))
 
     def level(carry, inputs):
         s, t, v = carry
@@ -158,8 +169,11 @@ def dcf_eval(party: int, keys: DcfKeys, x, n_bits: int = N_BITS_DEFAULT):
     xbits = jnp.stack(
         [_alpha_bit(x, i, n_bits) for i in range(n_bits)]
     )  # (n, N)
-    s0 = keys.seeds[party]
-    t0 = jnp.full((N,), jnp.uint32(party))
+    if isinstance(party, int):
+        s0 = keys.seeds[party]
+    else:
+        s0 = _sel(party_u, keys.seeds[0], keys.seeds[1])
+    t0 = party_u
     v0 = jnp.zeros((N,), jnp.int64)
     (s, t, v), _ = jax.lax.scan(
         level, (s0, t0, v0), (keys.s_cw, keys.t_cw, keys.v_cw, xbits)
@@ -179,14 +193,12 @@ def dpf_gen(key, alpha, beta, n_bits: int = N_BITS_DEFAULT) -> DpfKeys:
     N = alpha.shape[0]
     seeds = jax.random.bits(key, (2, N, 4), jnp.uint32)
 
-    s0, s1 = seeds[0], seeds[1]
-    t0 = jnp.zeros((N,), jnp.uint32)
-    t1 = jnp.ones((N,), jnp.uint32)
-    s_cws, t_cws = [], []
-    for i in range(n_bits):
+    abits = jnp.stack([_alpha_bit(alpha, i, n_bits) for i in range(n_bits)])
+
+    def level(carry, a):
+        s0, s1, t0, t1 = carry
         sL0, tL0, _, sR0, tR0, _ = expand(s0)
         sL1, tL1, _, sR1, tR1, _ = expand(s1)
-        a = _alpha_bit(alpha, i, n_bits)
 
         s_lose0 = _sel(a, sR0, sL0)
         s_lose1 = _sel(a, sR1, sL1)
@@ -202,21 +214,25 @@ def dpf_gen(key, alpha, beta, n_bits: int = N_BITS_DEFAULT) -> DpfKeys:
 
         s0 = s_keep0 ^ _sel(jnp.uint32(1) - t0, s_cw, jnp.zeros_like(s_cw))
         s1 = s_keep1 ^ _sel(jnp.uint32(1) - t1, s_cw, jnp.zeros_like(s_cw))
-        t0_new = t_keep0 ^ (t0 * t_cw_keep)
-        t1_new = t_keep1 ^ (t1 * t_cw_keep)
-        t0, t1 = t0_new, t1_new
+        t0 = t_keep0 ^ (t0 * t_cw_keep)
+        t1 = t_keep1 ^ (t1 * t_cw_keep)
 
-        s_cws.append(s_cw)
-        t_cws.append(jnp.stack([t_cw_L, t_cw_R], axis=-1))
+        return (s0, s1, t0, t1), (s_cw, jnp.stack([t_cw_L, t_cw_R], axis=-1))
+
+    carry0 = (
+        seeds[0],
+        seeds[1],
+        jnp.zeros((N,), jnp.uint32),
+        jnp.ones((N,), jnp.uint32),
+    )
+    (s0, s1, t0, t1), (s_cw, t_cw) = jax.lax.scan(level, carry0, abits)
 
     sign1 = jnp.where(t1 == 1, jnp.int64(-1), jnp.int64(1))
     conv0 = words_to_ring(s0[..., :2])
     conv1 = words_to_ring(s1[..., :2])
     last_cw = sign1 * (beta + conv1 - conv0)
 
-    return DpfKeys(
-        seeds=seeds, s_cw=jnp.stack(s_cws), t_cw=jnp.stack(t_cws), last_cw=last_cw
-    )
+    return DpfKeys(seeds=seeds, s_cw=s_cw, t_cw=t_cw, last_cw=last_cw)
 
 
 def dpf_eval(party: int, keys: DpfKeys, x, n_bits: int = N_BITS_DEFAULT):

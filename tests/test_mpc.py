@@ -129,12 +129,16 @@ def test_dcf_exhaustive(n_bits):
     alphas = jnp.arange(D, dtype=jnp.uint32)
     betas = jnp.full((D,), 3, jnp.int64)
     k = dcf_gen(KEY, alphas, betas, n_bits=n_bits)
-    for x in range(D):
-        xs = jnp.full((D,), x, jnp.uint32)
-        got = np.asarray(dcf_eval(0, k, xs, n_bits=n_bits)
-                         + dcf_eval(1, k, xs, n_bits=n_bits))
-        want = np.where(x < np.arange(D), 3, 0)
-        np.testing.assert_array_equal(got, want)
+
+    @jax.jit
+    def eval_both(xs):
+        return dcf_eval(0, k, xs, n_bits=n_bits) + dcf_eval(1, k, xs, n_bits=n_bits)
+
+    # all (x, alpha) pairs at once: vmap over the x axis
+    xs_all = jnp.broadcast_to(jnp.arange(D, dtype=jnp.uint32)[:, None], (D, D))
+    got = np.asarray(jax.vmap(eval_both)(xs_all))
+    want = (np.arange(D)[:, None] < np.arange(D)[None, :]) * 3
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("n_bits", [6])
@@ -143,12 +147,15 @@ def test_dpf_exhaustive(n_bits):
     alphas = jnp.arange(D, dtype=jnp.uint32)
     betas = jnp.full((D,), 5, jnp.int64)
     k = dpf_gen(KEY, alphas, betas, n_bits=n_bits)
-    for x in range(D):
-        xs = jnp.full((D,), x, jnp.uint32)
-        got = np.asarray(dpf_eval(0, k, xs, n_bits=n_bits)
-                         + dpf_eval(1, k, xs, n_bits=n_bits))
-        want = np.where(x == np.arange(D), 5, 0)
-        np.testing.assert_array_equal(got, want)
+
+    @jax.jit
+    def eval_both(xs):
+        return dpf_eval(0, k, xs, n_bits=n_bits) + dpf_eval(1, k, xs, n_bits=n_bits)
+
+    xs_all = jnp.broadcast_to(jnp.arange(D, dtype=jnp.uint32)[:, None], (D, D))
+    got = np.asarray(jax.vmap(eval_both)(xs_all))
+    want = (np.arange(D)[:, None] == np.arange(D)[None, :]) * 5
+    np.testing.assert_array_equal(got, want)
 
 
 def test_dcf_full_domain_32bit():
