@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def bench_train_throughput(batch=64, res=224, steps=12, warmup=3):
+def bench_train_throughput(batch=256, res=224, steps=12, warmup=3):
     import jax
     import jax.numpy as jnp
 
@@ -49,18 +49,72 @@ def bench_train_throughput(batch=64, res=224, steps=12, warmup=3):
     for i in range(warmup):
         key, sk = jax.random.split(key)
         ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
-    jax.block_until_ready(loss)
+    # NOTE: jax.block_until_ready returns early through the axon TPU
+    # tunnel; a host-side scalar fetch is the only reliable fence. The
+    # train state chains through the loop, so fetching the final loss
+    # forces the whole sequence.
+    float(loss)
     t0 = time.perf_counter()
     for i in range(steps):
         key, sk = jax.random.split(key)
         ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return batch * steps / dt
 
 
+def _torch_resnet18(num_classes=3, in_channels=1, input_size=224):
+    """Reference topology (torchlib/models.py:345-516) in plain torch.nn
+    (self-contained: torchvision is not in this image)."""
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, planes, stride=1, down=False):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.down = (
+                nn.Sequential(nn.Conv2d(cin, planes, 1, stride, bias=False),
+                              nn.BatchNorm2d(planes))
+                if down else None
+            )
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            idt = self.down(x) if self.down is not None else x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idt)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU()
+            self.pool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = nn.Sequential(BasicBlock(64, 64), BasicBlock(64, 64))
+            self.layer2 = nn.Sequential(BasicBlock(64, 128, 2, True), BasicBlock(128, 128))
+            self.layer3 = nn.Sequential(BasicBlock(128, 256, 2, True), BasicBlock(256, 256))
+            self.layer4 = nn.Sequential(BasicBlock(256, 512, 2, True), BasicBlock(512, 512))
+            self.avgpool = nn.AvgPool2d(input_size // 32)
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.pool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x).flatten(1)
+            return self.fc(x)
+
+    return Net()
+
+
 def bench_torch_cpu_baseline(batch=16, res=224, steps=3, warmup=1):
-    """Reference hot-loop proxy: torch CPU ResNet-18 fwd+bwd+Adam."""
+    """Reference hot-loop proxy: torch CPU ResNet-18 fwd+bwd+Adam
+    (the reference's federated training explicitly rejects CUDA,
+    train.py:617-622, so CPU torch IS its hot path)."""
     try:
         import torch
         import torch.nn as nn
@@ -68,10 +122,7 @@ def bench_torch_cpu_baseline(batch=16, res=224, steps=3, warmup=1):
         return None
     try:
         torch.set_num_threads(max(torch.get_num_threads(), 8))
-        from torchvision.models import resnet18 as tv_resnet18
-
-        model = tv_resnet18(num_classes=3)
-        model.conv1 = nn.Conv2d(1, 64, 7, 2, 3, bias=False)
+        model = _torch_resnet18(num_classes=3, in_channels=1, input_size=res)
     except Exception:
         return None
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)

@@ -109,6 +109,11 @@ class Arguments:
 
     # --- [system]
     num_threads: int = 0
+    # compute precision for the training forward/backward: "auto" picks
+    # bfloat16 on TPU (MXU-native) and float32 elsewhere; master params,
+    # optimizer state and BN statistics always stay float32. TPU-build
+    # extension; absent from the reference INIs (torch CPU is fp32-only).
+    compute_dtype: str = "auto"
 
     # --- [dp] (reference hardcodes these at train.py:326-334)
     noise_multiplier: float = 1.3

@@ -75,6 +75,16 @@ class PlainEngine:
 
     @staticmethod
     def avg_pool(x, window: int, stride: int, padding: int = 0):
+        if stride == window and padding == 0 and x.shape[1] % window == 0 \
+                and x.shape[2] % window == 0:
+            # non-overlapping pool (the ResNet input/32 head): a reshape
+            # mean — cheaper than reduce_window and, unlike the summed
+            # reduce_window, reverse-differentiable in bfloat16
+            B, H, W, C = x.shape
+            return jnp.mean(
+                x.reshape(B, H // window, window, W // window, window, C),
+                axis=(2, 4),
+            )
         summed = jax.lax.reduce_window(
             x,
             jnp.zeros((), x.dtype),
@@ -161,12 +171,15 @@ def batch_norm(
     if params is not None and "scale" in params:
         return E.affine(x, params["scale"], params["offset"]), state
     if train:
+        # statistics always in float32 — with bfloat16 compute the
+        # reductions would otherwise lose ~8 bits of the batch mean
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
         n = x.size // x.shape[-1]
-        inv = params["gamma"] * jax.lax.rsqrt(var + eps)
-        y = (x - mean) * inv + params["beta"]
+        inv = params["gamma"].astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+        y = ((xf - mean) * inv + params["beta"].astype(jnp.float32)).astype(x.dtype)
         # torch stores the *unbiased* variance in running stats
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -174,7 +174,11 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
 
     def augment(key, batch_u8):
         B = batch_u8.shape[0]
-        x = batch_u8.astype(jnp.float32) / 255.0
+        # pixel pipeline runs in bfloat16 on TPU (halves VPU/bandwidth
+        # cost; augmentation is distributional, 8 mantissa bits suffice);
+        # the final normalize promotes back to float32
+        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
         keys = jax.random.split(key, 32)
 
         # 1. torchvision RandomAffine
@@ -210,13 +214,13 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         if cfg.randomgamma:
             def gamma_fn(k):
                 g = jax.random.uniform(k, (B, 1, 1, 1), minval=0.8, maxval=1.2)
-                return jnp.power(jnp.maximum(x, 1e-6), g)
+                return jnp.power(jnp.maximum(x, jnp.asarray(1e-6, dt)), g.astype(dt))
             gated(4, p, gamma_fn)
 
         if cfg.randombrightness:
             def bright_fn(k):
                 f = jax.random.uniform(k, (B, 1, 1, 1), minval=-0.2, maxval=0.2)
-                return jnp.clip(x + f, 0.0, 1.0)
+                return jnp.clip(x + f.astype(dt), 0.0, 1.0)
             gated(5, p, bright_fn)
 
         if cfg.blur:
@@ -353,7 +357,8 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # 5. GaussNoise(var_limit=noise_std^2, p=noise_prob)
         if cfg.noise_std > 0 and cfg.noise_prob > 0:
             m = _gate(keys[20], cfg.noise_prob, B)
-            noise = jax.random.normal(keys[21], x.shape) * cfg.noise_std
+            noise = jax.random.normal(keys[21], x.shape, dt) * jnp.asarray(
+                cfg.noise_std, dt)
             x = _blend(m, jnp.clip(x + noise, 0.0, 1.0), x)
 
         # 6. Normalize (images already in [0,1] float = ToFloat(255))

@@ -21,8 +21,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from primia_tpu.nn.core import tree_cast
 from primia_tpu.ops.augment import AugmentConfig, build_augment_fn, normalize_only
 from primia_tpu.train import losses
+
+
+def resolve_compute_dtype(args):
+    """"auto" -> bfloat16 on TPU (MXU-native mixed precision), float32
+    elsewhere; explicit names pass through."""
+    name = getattr(args, "compute_dtype", "auto")
+    if name == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return jnp.dtype(name)
 
 
 class TrainState(NamedTuple):
@@ -60,6 +70,7 @@ def build_train_step(model_def, optimizer, args, mean, std,
     w = jnp.asarray(class_weights) if (args.weight_classes and class_weights is not None) else None
     onehot = uses_onehot_loss(args)
     nc = model_def.num_classes
+    cdtype = resolve_compute_dtype(args)
 
     def step(ts: TrainState, key, images_u8, labels, mask, lr):
         k_aug, k_mix = jax.random.split(key)
@@ -69,9 +80,15 @@ def build_train_step(model_def, optimizer, args, mean, std,
             x, y_oh = losses.mixup(
                 k_mix, x, y_oh, lam=args.mixup_lambda, prob=args.mixup_prob
             )
+        x = x.astype(cdtype)
 
         def loss_fn(p):
-            logits, new_ms = model_def.forward(p, ts.model_state, x, train=True)
+            # mixed precision: bf16 compute against fp32 master params;
+            # grads come back fp32 through the cast
+            logits, new_ms = model_def.forward(
+                tree_cast(p, cdtype), ts.model_state, x, train=True
+            )
+            logits = logits.astype(jnp.float32)
             if onehot:
                 loss = losses.cross_entropy_one_hot(logits, y_oh, weight=w,
                                                     sample_mask=mask)
