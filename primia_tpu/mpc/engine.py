@@ -39,15 +39,35 @@ _PAD_NEG = -(1 << 30)
 
 
 class MpcContext:
-    """Per-forward PRNG stream for the simulated dealer."""
+    """Per-forward PRNG stream for the simulated dealer.
 
-    def __init__(self, key, frac_bits: int = fixed.DEFAULT_FRAC_BITS):
+    ``protocol`` picks the private-comparison backend, mirroring the
+    reference's ``@crypto_protocol`` dispatch (``mpc/__init__.py:4-39``):
+    "snn" (SecureNN bit circuit — hardware-right for mesh-colocated
+    parties, ~100x cheaper per element) or "fss" (AriaNN DCF — one
+    online round, right for genuinely-remote parties). Both produce
+    identical shares.
+    """
+
+    def __init__(self, key, frac_bits: int = fixed.DEFAULT_FRAC_BITS,
+                 protocol: str = "snn"):
+        if protocol not in ("snn", "fss"):
+            raise ValueError(f"unknown MPC protocol {protocol!r}")
         self._key = key
         self.frac_bits = frac_bits
+        self.protocol = protocol
 
     def next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def sign_shares(self, x: AShare) -> AShare:
+        """Protocol-dispatched shares of 1{x < 0}."""
+        if self.protocol == "fss":
+            return compare.sign_shares(self.next_key(), x)
+        from primia_tpu.mpc import securenn
+
+        return securenn.sign_shares(self.next_key(), x)
 
 
 class MpcEngine:
@@ -69,7 +89,7 @@ class MpcEngine:
         """max(a, b) = a + (b - a) * (1 - msb(b - a)); one comparison +
         one (un-truncated: the bit is an integer) product."""
         d = S.sub(b, a)
-        sign = compare.sign_shares(self.ctx.next_key(), d)
+        sign = self.ctx.sign_shares(d)
         pos = S.add_public(S.neg(sign), 1)  # 1 - msb
         return S.add(a, beaver.mul(self.ctx.next_key(), d, pos))
 
@@ -92,7 +112,7 @@ class MpcEngine:
         return self.bias_add(y, offset)
 
     def relu(self, x: AShare) -> AShare:
-        sign = compare.sign_shares(self.ctx.next_key(), x)
+        sign = self.ctx.sign_shares(x)
         pos = S.add_public(S.neg(sign), 1)
         return beaver.mul(self.ctx.next_key(), x, pos)  # bit product: no truncation
 

@@ -57,6 +57,7 @@ def build_encrypted_predict(
     precision_fractional: int = fixed.DEFAULT_FRAC_BITS,
     seed: int = 0,
     swap_pool_relu: bool = True,
+    protocol: str = "snn",
 ):
     """Returns jitted ``predict(params, model_state, images_u8) -> logits``
     running the forward over secret shares; signature-compatible with the
@@ -85,7 +86,7 @@ def build_encrypted_predict(
         x = (x - mean_a) / std_a
         x_shared = encode_and_share(k_data, x, frac)
 
-        E = MpcEngine(MpcContext(k_online, frac))
+        E = MpcEngine(MpcContext(k_online, frac, protocol=protocol))
         logits_shared, _ = model_def.forward(
             shared_params, {}, x_shared, E=E, train=False, swap_pool_relu=swap
         )

@@ -182,10 +182,14 @@ def clahe(
     (``torchlib/dataloader.py:152-157``).
     """
     B, H, W, C = imgs.shape
-    th, tw = H // tiles, W // tiles
+    th, tw = -(-H // tiles), -(-W // tiles)  # ceil: any resolution
+    padH, padW = th * tiles - H, tw * tiles - W
     u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.int32)
+    if padH or padW:
+        u8 = jnp.pad(u8, ((0, 0), (0, padH), (0, padW), (0, 0)), mode="edge")
+    Hp, Wp = H + padH, W + padW
 
-    def one_channel(ch):  # (H, W) int32
+    def one_channel(ch):  # (Hp, Wp) int32
         t = ch.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)  # (T,T,th,tw)
         oh = jax.nn.one_hot(t.reshape(tiles, tiles, -1), 256, dtype=jnp.float32)
         hist = jnp.sum(oh, axis=2)  # (T, T, 256)
@@ -196,7 +200,8 @@ def clahe(
         cdf = jnp.cumsum(hist, axis=-1)
         luts = jnp.clip(jnp.round(cdf / (th * tw) * 255.0), 0, 255)  # (T,T,256)
 
-        # bilinear interpolation between tile LUTs at every pixel
+        # bilinear interpolation between tile LUTs at every (unpadded) pixel
+        ch = ch[:H, :W]
         ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
         fy = (ys - th / 2.0) / th

@@ -111,10 +111,15 @@ class GridNode:
     def _get_data_shares(self, msg: dict) -> dict:
         """Fixed-point encode + 2-party split of a hosted tensor; only
         the requested party's share leaves (a deployment hands each
-        party its own stream)."""
-        import jax
+        party its own stream).
 
-        from primia_tpu.mpc import fixed, shares as S
+        The split runs through the native SHA-256-CTR share generator
+        (``native/src/primia_native.cpp`` — the C++ analogue of the
+        reference's Rust ``shaloop`` PRG, ``fss.py:532``), one OpenMP
+        pass over the tensor; numpy fallback when the library is absent.
+        """
+        from primia_tpu import native
+        from primia_tpu.mpc import fixed
 
         tag = msg.get("tag", "#inference_data")
         party = int(msg.get("party", -1))
@@ -130,12 +135,11 @@ class GridNode:
         else:
             x = data
         frac = int(msg.get("frac_bits", fixed.DEFAULT_FRAC_BITS))
-        key = jax.random.PRNGKey(int(msg.get("seed", 0)))
-        sh = S.share(key, fixed.encode(x, frac))
-        arr = np.asarray(sh.data)
+        s0, s1 = native.encode_and_share(x, frac, int(msg.get("seed", 0)))
         if party in (0, 1):
-            return {"tag": tag, "share": arr[party], "party": party, "frac_bits": frac}
-        return {"tag": tag, "shares": arr, "frac_bits": frac}
+            return {"tag": tag, "share": (s0 if party == 0 else s1),
+                    "party": party, "frac_bits": frac}
+        return {"tag": tag, "shares": np.stack([s0, s1]), "frac_bits": frac}
 
     def _train_round(self, msg: dict) -> dict:
         """Local training steps on the node's shard (federated ws mode)."""

@@ -172,22 +172,47 @@ def test_dcf_full_domain_32bit():
 
 # ------------------------------------------------------------- comparison
 
-def test_sign_shares():
+def _sign_impl(protocol):
+    if protocol == "fss":
+        return compare.sign_shares
+    from primia_tpu.mpc import securenn
+
+    return securenn.sign_shares
+
+
+@pytest.mark.parametrize("protocol", ["fss", "snn"])
+def test_sign_shares(protocol):
     x = jnp.array([1.0, -1.0, 0.5, -1e-4, 1e-4, -3000.0, 3000.0, 0.0])
     sx = S.share(KEY, fixed.encode(x))
-    sg = compare.sign_shares(jax.random.fold_in(KEY, 9), sx)
+    sg = _sign_impl(protocol)(jax.random.fold_in(KEY, 9), sx)
     got = np.asarray(S.reconstruct(sg))
     want = (np.asarray(x) < 0).astype(np.int64)
     np.testing.assert_array_equal(got, want)
 
 
-def test_sign_shares_random():
+@pytest.mark.parametrize("protocol", ["fss", "snn"])
+def test_sign_shares_random(protocol):
     rng = np.random.default_rng(5)
     x = rng.uniform(-100, 100, 512)
     sx = S.share(KEY, fixed.encode(jnp.asarray(x)))
-    sg = compare.sign_shares(jax.random.fold_in(KEY, 10), sx)
+    sg = _sign_impl(protocol)(jax.random.fold_in(KEY, 10), sx)
     got = np.asarray(S.reconstruct(sg))
     np.testing.assert_array_equal(got, (x < 0).astype(np.int64))
+
+
+def test_sign_shares_snn_ring_edges():
+    """Integer edge cases across the 32-bit comparison domain."""
+    from primia_tpu.mpc import securenn
+
+    vals = jnp.array(
+        [0, 1, -1, 2 ** 30, -(2 ** 30), 2 ** 31 - 1 - 65536, -(2 ** 31 - 65536)],
+        jnp.int64,
+    )
+    sx = S.share(KEY, vals)
+    sg = securenn.sign_shares(jax.random.fold_in(KEY, 11), sx)
+    np.testing.assert_array_equal(
+        np.asarray(S.reconstruct(sg)), np.asarray(vals < 0).astype(np.int64)
+    )
 
 
 # ---------------------------------------------------------- engine ops
@@ -244,9 +269,11 @@ def test_engine_affine_linear():
 
 # ----------------------------------------------------- end-to-end parity
 
-def test_encrypted_inference_matches_plaintext():
+@pytest.mark.parametrize("protocol", ["snn", "fss"])
+def test_encrypted_inference_matches_plaintext(protocol):
     """Workload 5 acceptance: encrypted logits ~= plaintext logits within
-    fixed-point tolerance on a small conv net."""
+    fixed-point tolerance on a small conv net, under both comparison
+    protocols."""
     from primia_tpu.config import Arguments
     from primia_tpu.mpc.inference import build_encrypted_predict
     from primia_tpu.nn import create_model
@@ -265,7 +292,7 @@ def test_encrypted_inference_matches_plaintext():
     plain = build_predict_step(md, args, mean, std)
     want = np.asarray(plain(params, state, imgs))
 
-    enc = build_encrypted_predict(md, args, mean, std, seed=1)
+    enc = build_encrypted_predict(md, args, mean, std, seed=1, protocol=protocol)
     got = np.asarray(enc(params, state, imgs))
     np.testing.assert_allclose(got, want, atol=0.02, rtol=0)
     assert got.argmax(1).tolist() == want.argmax(1).tolist()
