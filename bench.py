@@ -14,6 +14,7 @@ reported on stderr; the driver consumes only the stdout JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -139,7 +140,63 @@ def bench_torch_cpu_baseline(batch=16, res=224, steps=3, warmup=1):
     return batch * steps / dt
 
 
+def bench_encrypted_inference(batch=8, res=28, protocol="snn"):
+    """Per-image encrypted (SMPC) inference latency, simpleconv@28."""
+    import jax
+    import jax.numpy as jnp
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.mpc.inference import build_encrypted_predict
+    from primia_tpu.nn import create_model
+
+    args = Arguments(model="simpleconv", train_resolution=res,
+                     inference_resolution=res, pooling_type="max")
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, (batch, res, res, 1), dtype=np.uint8)
+    enc = build_encrypted_predict(md, args, np.array([0.5]), np.array([0.25]),
+                                  seed=1, protocol=protocol)
+    out = enc(params, state, imgs)
+    float(jnp.sum(out))  # warm (compile)
+    t0 = time.perf_counter()
+    out = enc(params, state, imgs)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / batch
+
+
+def bench_secure_fedavg(nodes=3):
+    """One secure-aggregation round over ResNet-18-sized parameters
+    (the reference's ``aggregation``, utils.py:1000-1105)."""
+    import jax
+    import jax.numpy as jnp
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.mpc.aggregation import secure_fedavg
+    from primia_tpu.nn import create_model
+
+    args = Arguments(model="resnet-18")
+    md = create_model(args, num_classes=3)
+    params, _ = md.init(jax.random.PRNGKey(0))
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (nodes, *x.shape)), params)
+    weights = np.full(nodes, 1.0 / nodes)
+    f = jax.jit(lambda k, t: secure_fedavg(k, t, weights))
+    out = f(jax.random.PRNGKey(1), stacked)
+    float(jnp.sum(jax.tree.leaves(out)[0]))  # warm
+    t0 = time.perf_counter()
+    out = f(jax.random.PRNGKey(2), stacked)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
+    return time.perf_counter() - t0
+
+
 def main():
+    import jax
+
+    # persistent compilation cache: the MPC graphs are compile-heavy
+    jax.config.update("jax_compilation_cache_dir", "/tmp/primia_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     ours = bench_train_throughput()
     base = bench_torch_cpu_baseline()
     vs = (ours / base) if base else None
@@ -155,6 +212,20 @@ def main():
     )
     if base:
         sys.stderr.write(f"baseline torch-cpu: {base:.2f} img/s\n")
+    if os.environ.get("PRIMIA_BENCH_QUICK"):
+        return
+    try:
+        agg_s = bench_secure_fedavg()
+        sys.stderr.write(
+            f"secure_fedavg_resnet18_3nodes: {agg_s * 1e3:.1f} ms/round\n")
+    except Exception as e:  # sub-benchmarks must never fail the headline
+        sys.stderr.write(f"secure_fedavg bench failed: {e}\n")
+    try:
+        enc_s = bench_encrypted_inference()
+        sys.stderr.write(
+            f"encrypted_inference_simpleconv28_snn: {enc_s * 1e3:.1f} ms/image\n")
+    except Exception as e:
+        sys.stderr.write(f"encrypted inference bench failed: {e}\n")
 
 
 if __name__ == "__main__":

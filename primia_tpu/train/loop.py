@@ -39,6 +39,15 @@ def load_train_val(args: Arguments, verbose: bool = True):
     val = sibling ``test`` folder when present, else a
     ``validation_split`` percent holdout."""
     channels = 1 if (args.data_dir == "mnist" or not args.pretrained) else 3
+    if args.data_dir == "mnist":
+        # the reference's "weak machine" path (train.py:99-129): 10-class
+        # MNIST at train_resolution with the canonical normalization
+        from primia_tpu.data.mnist import CLASSES, load_mnist, resize_to
+
+        tri, trl, tei, tel = load_mnist()
+        res = args.inference_resolution
+        return (resize_to(tri, res), trl, resize_to(tei, res), tel,
+                np.array([0.1307]), np.array([0.3081]), CLASSES)
     train_ds = ImageFolderDataset(args.data_dir, channels=channels)
     assert len(train_ds.classes) == 3, (
         "Dataset must have exactly 3 classes: normal, bacterial and viral"
@@ -103,6 +112,13 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         timestamp,
     )
 
+    # live dashboard (the reference's visdom role; --visdom enables it)
+    from primia_tpu.train.monitor import Monitor, NullMonitor
+
+    mon = Monitor(exp_name) if args.visdom else NullMonitor()
+    if args.visdom and verbose:
+        print(f"Live dashboard: {mon.html}")
+
     (train_imgs, train_labels, val_imgs, val_labels, mean, std,
      class_names) = load_train_val(args, verbose)
     num_classes = len(class_names)
@@ -155,9 +171,11 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             key, sk = jax.random.split(key)
             ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
             avg_loss.append(loss)
+        epoch_loss = float(np.mean([float(l) for l in avg_loss]))
+        mon.add_scalar("train_loss", epoch, epoch_loss)
+        mon.add_scalar("lr", epoch, float(lr))
         if verbose:
-            print("Train Epoch: {} \tLoss: {:.6f}".format(
-                epoch, float(np.mean([float(l) for l in avg_loss]))))
+            print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, epoch_loss))
         if args.differentially_private and verbose:
             from primia_tpu.train.dp import rdp_epsilon
 
@@ -170,10 +188,12 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             print(f"(eps = {eps:.2f}, delta = {args.target_delta}) at alpha = {alpha}")
 
         if (epoch % args.test_interval) == 0:
-            _, matthews = run_eval(
+            val_loss, matthews = run_eval(
                 eval_step, ts.params, ts.model_state, val_loader, epoch,
                 class_names, verbose,
             )
+            mon.add_scalar("val_loss", epoch, float(val_loss))
+            mon.add_scalar("val_mcc", epoch, float(matthews))
             model_path = os.path.join(
                 weights_dir, "{:s}_epoch_{:03d}.pt".format(
                     exp_name, epoch * (args.repetitions_dataset or 1)
