@@ -12,9 +12,19 @@ enabled at import time; all framework code uses explicit dtypes so model
 compute stays in float32/bfloat16.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the share-space (MPC) programs are
+# compile-heavy (minutes for an encrypted ResNet forward); caching makes
+# that a one-time cost per machine. Overridable via PRIMIA_JAX_CACHE.
+_cache_dir = _os.environ.get("PRIMIA_JAX_CACHE", "/tmp/primia_jax_cache")
+if _cache_dir and _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
 

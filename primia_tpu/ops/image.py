@@ -101,6 +101,14 @@ def _use_mxu_resample() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_pallas_resample() -> bool:
+    """Opt-in alternate kernel (see ops/pallas_kernels.py for the
+    measured trade-off at production shapes)."""
+    import os
+
+    return _use_mxu_resample() and bool(os.environ.get("PRIMIA_PALLAS_AUGMENT"))
+
+
 def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse-affine warp. imgs (B,H,W,C); mats (B,2,3) maps
     OUTPUT pixel coords (x, y, 1) -> input coords, centered at the image
@@ -114,6 +122,10 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
         + mats[:, 1, 2, None, None] + cy
     sx = mats[:, 0, 0, None, None] * xs + mats[:, 0, 1, None, None] * ys \
         + mats[:, 0, 2, None, None] + cx
+    if _use_pallas_resample():
+        from primia_tpu.ops.pallas_kernels import resample_bilinear_pallas
+
+        return resample_bilinear_pallas(imgs, sy, sx)
     if _use_mxu_resample():
         return resample_bilinear_mxu(imgs, sy, sx)
     return jax.vmap(bilinear_sample)(imgs, sy, sx)
