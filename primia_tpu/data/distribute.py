@@ -41,8 +41,16 @@ def _images(folder: Path) -> List[Path]:
 
 
 def distribute(train_data_src, dest, num_workers: int = 3,
-               symbolic: bool = False, seed: int = 0) -> Dict[str, int]:
-    """Deal the train folder round-robin into worker1..N under ``dest``."""
+               symbolic: bool = False, seed: int = 0,
+               validation_split: int = 10) -> Dict[str, int]:
+    """Deal the train folder round-robin into worker1..N under ``dest``.
+
+    The first ``validation_split`` percent of the seeded shuffle goes to
+    a local ``validation/`` folder (the federated trainer evaluates on
+    it; the reference's distribute script had the same split sketched
+    and its shipped server_simulation data carries a validation folder).
+    Set ``validation_split=0`` to deal everything to workers.
+    """
     src = Path(train_data_src)
     dest = Path(dest)
     classes = sorted(d.name for d in src.iterdir() if d.is_dir())
@@ -52,15 +60,20 @@ def distribute(train_data_src, dest, num_workers: int = 3,
     random.seed(seed)
     random.shuffle(idcs)
 
-    counts: Dict[str, int] = {}
+    n_val = (len(idcs) * validation_split) // 100 if validation_split else 0
+    splits = {"validation": idcs[:n_val]} if n_val else {}
+    train_idcs = idcs[n_val:]
     for w in range(num_workers):
-        wname = f"worker{w + 1}"
-        take = idcs[w::num_workers]
+        splits[f"worker{w + 1}"] = train_idcs[w::num_workers]
+
+    counts: Dict[str, int] = {}
+    for wname, take in splits.items():
         counts[wname] = len(take)
+        for cls in classes:  # every class dir exists even when it gets 0 images
+            (dest / wname / cls).mkdir(parents=True, exist_ok=True)
         for i in take:
             cls, p = pairs[i]
             d = dest / wname / cls
-            d.mkdir(parents=True, exist_ok=True)
             target = d / p.name
             if target.exists():
                 continue

@@ -70,11 +70,16 @@ def test_distribute_and_stats_and_trim(tmp_path, fixture_dir):
 
     dest = tmp_path / "server_simulation"
     counts = distribute(fixture_dir / "train", dest, num_workers=3)
-    assert set(counts) == {"worker1", "worker2", "worker3"}
+    assert set(counts) == {"worker1", "worker2", "worker3", "validation"}
     assert sum(counts.values()) == 12  # 3 classes x 4 images
+    assert counts["validation"] == 1  # 10% holdout
+
+    no_val = distribute(fixture_dir / "train", tmp_path / "nv", num_workers=3,
+                        validation_split=0)
+    assert set(no_val) == {"worker1", "worker2", "worker3"}
 
     dist = class_distribution(dest)
-    assert set(dist) == {"worker1", "worker2", "worker3"}
+    assert set(dist) == {"worker1", "worker2", "worker3", "validation"}
     assert sum(sum(d.values()) for d in dist.values()) == 12
     table = format_distribution(dist)
     assert "worker1" in table and "total" in table
