@@ -21,7 +21,10 @@ class NodeClient:
     (``--http_protocol`` forces HTTP, as in the reference CLI)."""
 
     def __init__(self, node_id: str, host: str, port: int,
-                 http_only: bool = False, timeout: float = 60.0):
+                 http_only: bool = False, timeout: float = 600.0):
+        # generous default: remote MPC requests block on the node's
+        # first XLA compile (the reference passes timeout=60000s for the
+        # same reason, inference.py:121)
         self.id = node_id
         self.host = host
         self.port = int(port)
@@ -87,6 +90,46 @@ class GridNetwork:
             if found:
                 out[c.id] = found
         return out
+
+    def serve_model(self, node_id: str, *, name: str, params, model_state,
+                    args_json: str, mean, std, allow_download: bool = False,
+                    allow_remote_inference: bool = True) -> dict:
+        """Host a model on a node (reference
+        ``PrivateGridNetwork.serve_model``, ``private_grid.py:41-113``)."""
+        import jax
+        import numpy as np
+
+        from primia_tpu.serve.node import _flatten
+
+        c = self._by_id(node_id)
+        return c.send({
+            "type": "host_model", "name": name,
+            "params": _flatten(jax.tree.map(np.asarray, params)),
+            "model_state": _flatten(jax.tree.map(np.asarray, model_state)),
+            "args": args_json, "mean": np.asarray(mean), "std": np.asarray(std),
+            "allow_download": allow_download,
+            "allow_remote_inference": allow_remote_inference,
+        })
+
+    def run_remote_inference(self, node_id: str, *, name: str, images=None,
+                             encrypted: bool = False, protocol: str = "snn"):
+        """Classify on the node hosting the model — images (or its own
+        hosted ``#inference_data``) never leave in plaintext when
+        ``encrypted`` (reference ``run_remote_inference``)."""
+        msg = {"type": "run_inference", "name": name, "encrypted": encrypted,
+               "protocol": protocol}
+        if images is not None:
+            msg["images"] = images
+        out = self._by_id(node_id).send(msg)
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        return out
+
+    def _by_id(self, node_id: str) -> "NodeClient":
+        for c in self.clients:
+            if c.id == node_id:
+                return c
+        raise KeyError(f"no node {node_id!r} in this grid")
 
 
 def clients_from_csv(path, http_only: bool = False) -> Dict[str, NodeClient]:

@@ -44,6 +44,7 @@ class GridNode:
                  inference_resolution: int = 224, channels: int = 1):
         self.id = node_id
         self.store: Dict[str, np.ndarray] = {}
+        self.models: Dict[str, dict] = {}  # hosted models (serve_model)
         self.config_path = config
         self.inference_resolution = inference_resolution
         self.channels = channels
@@ -106,7 +107,69 @@ class GridNode:
             return self._get_data_shares(msg)
         if op == "train_round":
             return self._train_round(msg)
+        if op == "host_model":
+            return self._host_model(msg)
+        if op == "list_models":
+            return {"models": sorted(self.models)}
+        if op == "delete_model":
+            self.models.pop(msg["name"], None)
+            return {"ok": True}
+        if op == "run_inference":
+            return self._run_inference(msg)
         return {"error": f"unknown message type {op!r}"}
+
+    # ------------------------------------------------- model hosting
+    # The reference hosts (encrypted) models on grid nodes and serves
+    # remote inference (PrivateGridNetwork.serve_model /
+    # run_remote_inference, syft/grid/private_grid.py:18-113; Node model
+    # routes, Node/app/main/routes/data_centric/routes.py).
+
+    def _host_model(self, msg: dict) -> dict:
+        name = msg["name"]
+        self.models[name] = {
+            "params": _unflatten(msg["params"]),
+            "model_state": _unflatten(msg["model_state"]),
+            "args": msg["args"],
+            "mean": np.asarray(msg["mean"]),
+            "std": np.asarray(msg["std"]),
+            "allow_download": bool(msg.get("allow_download", False)),
+            "allow_remote_inference": bool(msg.get("allow_remote_inference", True)),
+        }
+        return {"ok": True, "name": name}
+
+    def _run_inference(self, msg: dict) -> dict:
+        import jax
+
+        from primia_tpu.config import Arguments
+        from primia_tpu.nn import create_model
+        from primia_tpu.train.steps import build_predict_step
+
+        name = msg["name"]
+        if name not in self.models:
+            return {"error": f"no model named {name!r}"}
+        m = self.models[name]
+        if not m["allow_remote_inference"]:
+            return {"error": f"model {name!r} does not allow remote inference"}
+        if "images" in msg:
+            images = np.asarray(msg["images"])
+        elif "#inference_data" in self.store:
+            images = self.store["#inference_data"]
+        else:
+            return {"error": "no images supplied and no hosted #inference_data"}
+        args = Arguments.from_dict(json.loads(m["args"]))
+        model_def = create_model(args, num_classes=args.num_classes)
+        if msg.get("encrypted"):
+            from primia_tpu.mpc.inference import build_encrypted_predict
+
+            predict = build_encrypted_predict(
+                model_def, args, m["mean"], m["std"],
+                seed=int(msg.get("seed", 0)),
+                protocol=msg.get("protocol", "snn"),
+            )
+        else:
+            predict = build_predict_step(model_def, args, m["mean"], m["std"])
+        logits = np.asarray(predict(m["params"], m["model_state"], images))
+        return {"logits": logits, "predictions": logits.argmax(1).astype(np.int32)}
 
     def _get_data_shares(self, msg: dict) -> dict:
         """Fixed-point encode + 2-party split of a hosted tensor; only

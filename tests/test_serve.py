@@ -154,3 +154,44 @@ def test_remote_train_round(node_server, fixture_dir):
     )
     assert moved
     c.close()
+
+
+def test_model_hosting_and_remote_inference(node_server):
+    """serve_model + run_remote_inference through the wire (plain and
+    encrypted) — the reference's PrivateGridNetwork surface."""
+    import jax
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.nn import create_model
+    from primia_tpu.serve.client import GridNetwork, NodeClient
+
+    node, port = node_server
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, pooling_type="max")
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+
+    client = NodeClient("worker1", "127.0.0.1", port)
+    grid = GridNetwork([client])
+    try:
+        out = grid.serve_model(
+            "worker1", name="pneumonia", params=params, model_state=state,
+            args_json=args.to_json(), mean=np.array([0.5]), std=np.array([0.25]),
+        )
+        assert out.get("ok")
+        assert client.send({"type": "list_models"})["models"] == ["pneumonia"]
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (2, 28, 28, 1), dtype=np.uint8)
+        plain = grid.run_remote_inference("worker1", name="pneumonia", images=imgs)
+        assert plain["logits"].shape == (2, 3)
+        assert plain["predictions"].shape == (2,)
+
+        enc = grid.run_remote_inference("worker1", name="pneumonia",
+                                        images=imgs, encrypted=True)
+        np.testing.assert_allclose(enc["logits"], plain["logits"], atol=0.02)
+
+        client.send({"type": "delete_model", "name": "pneumonia"})
+        assert client.send({"type": "list_models"})["models"] == []
+    finally:
+        client.close()
