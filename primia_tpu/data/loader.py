@@ -21,6 +21,64 @@ class Batch(NamedTuple):
     mask: np.ndarray  # (B,) float32; 0 for padding rows
 
 
+def to_device_resident(images_u8: np.ndarray, max_bytes: int = 4 << 30):
+    """Move a materialized dataset into device memory (HBM) when it fits.
+
+    The TPU-first answer to input-pipeline overhead: the full X-ray
+    training set is ~260 MB uint8 — far below HBM capacity — so batches
+    become on-device gathers instead of per-step host->device copies of
+    tens of MB (a 4x throughput loss through a tunneled link, and a
+    PCIe tax even on a local host). Falls back to the host array when
+    the dataset is too large or allocation fails.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if images_u8.nbytes > max_bytes:
+        return images_u8
+    try:
+        return jax.device_put(jnp.asarray(images_u8))
+    except Exception:
+        return images_u8
+
+
+def device_prefetch(batches, depth: int = 2):
+    """Iterate ``batches`` with the next ``depth`` already in flight to
+    the device.
+
+    ``jax.device_put`` is asynchronous, so enqueueing the upcoming
+    batches' transfers before yielding the current one overlaps
+    host->device copies with the running step — without this, a training
+    loop serializes a full batch transfer (tens of MB) against every
+    step (measured 4x throughput loss on a tunneled v5e).
+    """
+    import collections
+
+    import jax
+
+    def put(b: Batch) -> Batch:
+        return Batch(
+            jax.device_put(b.images),
+            None if b.labels is None else jax.device_put(b.labels),
+            jax.device_put(b.mask),
+        )
+
+    q = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(max(1, depth)):
+            q.append(put(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def calc_mean_std(
     images_u8: np.ndarray, sample_limit: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -85,13 +143,15 @@ class BatchLoader:
         nb = len(self)
         for b in range(nb):
             idx = order[b * B : (b + 1) * B]
-            imgs = self.images[idx]
+            imgs = self.images[idx]  # device gather when images live in HBM
             labs = self.labels[idx] if self.labels is not None else None
             mask = np.ones(len(idx), np.float32)
             if len(idx) < B and self.pad_final:
                 pad = B - len(idx)
-                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+                xp = np if isinstance(imgs, np.ndarray) else __import__("jax.numpy", fromlist=["jnp"])
+                imgs = xp.concatenate(
+                    [imgs, xp.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
                 if labs is not None:
-                    labs = np.concatenate([labs, np.zeros(pad, labs.dtype)])
+                    labs = np.concatenate([np.asarray(labs), np.zeros(pad, labs.dtype)])
                 mask = np.concatenate([mask, np.zeros(pad, np.float32)])
             yield Batch(imgs, labs, mask)

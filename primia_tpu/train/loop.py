@@ -24,6 +24,7 @@ import numpy as np
 
 from primia_tpu.config import Arguments
 from primia_tpu.data import BatchLoader, ImageFolderDataset, calc_mean_std, random_split
+from primia_tpu.data.loader import device_prefetch, to_device_resident
 from primia_tpu.nn import create_model
 from primia_tpu.train import checkpoint as ckpt
 from primia_tpu.train import metrics as M
@@ -72,7 +73,7 @@ def run_eval(eval_step, params, model_state, loader, epoch, class_names,
     """One full validation pass -> (loss, objective=100*MCC); prints the
     stats table (reference ``test``, ``utils.py:1354-1467``)."""
     losses, preds, targets, scores, masks = [], [], [], [], []
-    for batch in loader:
+    for batch in device_prefetch(loader):
         loss, logits = eval_step(params, model_state, batch.images, batch.labels,
                                  batch.mask)
         losses.append(float(loss))
@@ -151,12 +152,15 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         train_step = build_train_step(model_def, optimizer, args, mean, std, cw)
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
+    # datasets live in HBM when they fit: batches become on-device
+    # gathers instead of per-step host transfers
     train_loader = BatchLoader(
-        train_imgs, train_labels, args.batch_size, shuffle=True, seed=args.seed,
-        pad_final=False,
+        to_device_resident(train_imgs), train_labels, args.batch_size,
+        shuffle=True, seed=args.seed, pad_final=False,
     )
     val_loader = BatchLoader(
-        val_imgs, val_labels, args.test_batch_size, shuffle=False, pad_final=True
+        to_device_resident(val_imgs), val_labels, args.test_batch_size,
+        shuffle=False, pad_final=True,
     )
 
     run_eval(eval_step, ts.params, ts.model_state, val_loader, start_at_epoch - 1,
@@ -167,7 +171,7 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
     for epoch in range(start_at_epoch, args.epochs + 1):
         lr = scheduler.get_lr(epoch - 1)
         avg_loss = []
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader):
             key, sk = jax.random.split(key)
             ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
             avg_loss.append(loss)
