@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from primia_tpu.config import Arguments, read_worker_config
+from primia_tpu.data.loader import to_device_resident
 from primia_tpu.data import BatchLoader, ImageFolderDataset, calc_mean_std
 from primia_tpu.mpc.aggregation import plain_fedavg, secure_average_stats, secure_fedavg
 from primia_tpu.nn import create_model
@@ -262,11 +263,37 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     fed_step = jax.vmap(train_step, in_axes=(0, 0, 0, 0, 0, None))
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
+    start_at_epoch = 1
+    if args.resume_checkpoint:
+        # the (x -> federated) half of the reference's 4-way resume
+        # (train.py:345-389): broadcast the checkpoint model to every
+        # node; per-worker optimizer state is restored only when it was
+        # saved per-worker AND keep_optim_dict asks for it
+        ck = ckpt.load_model(args.resume_checkpoint)
+        start_at_epoch = int(ck["epoch"]) + 1
+        params0 = ck["model_state_dict"]["params"]
+        state0 = ck["model_state_dict"]["state"]
+        if verbose:
+            print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
+
     # stacked replicas, all initialized from the same weights (the
     # reference broadcasts one model to every worker)
     stacked = _stack_tree([TrainState(params0, state0, optimizer.init(params0))
                            for _ in range(n_nodes)])
+    if args.resume_checkpoint and args.keep_optim_dict:
+        osd = ck["optim_state_dict"]
+        if (isinstance(osd, dict) and set(osd) >= set(worker_names)
+                and all(osd[w] is not None for w in worker_names)):
+            stacked = TrainState(
+                stacked.params, stacked.model_state,
+                _stack_tree([osd[w] for w in worker_names]),
+            )
+            if verbose:
+                print("Restored per-worker optimizer state")
 
+    # node shards live in HBM when they fit: per-step batch assembly
+    # becomes on-device gathers + one jnp.stack (no host transfers)
+    node_imgs = [to_device_resident(x) for x in node_imgs]
     loaders = [
         BatchLoader(node_imgs[i], node_labels[i], args.batch_size, shuffle=True,
                     seed=args.seed + i, pad_final=True)
@@ -310,7 +337,7 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
     rng_key = jax.random.fold_in(key, 99)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_at_epoch, args.epochs + 1):
         lr = scheduler.get_lr(epoch - 1)
         if not args.keep_optim_dict:
             stacked = TrainState(stacked.params, stacked.model_state,
@@ -323,8 +350,8 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             imgs, labs, masks, active = [], [], [], []
             for i in range(n_nodes):
                 if batch_idx >= num_batches[i]:
-                    imgs.append(np.zeros((args.batch_size, *node_imgs[i].shape[1:]),
-                                         np.uint8))
+                    imgs.append(jnp.zeros((args.batch_size, *node_imgs[i].shape[1:]),
+                                          jnp.uint8))
                     labs.append(np.zeros(args.batch_size, np.int32))
                     masks.append(np.zeros(args.batch_size, np.float32))
                     active.append(0.0)
@@ -342,8 +369,9 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             rng_key, sk = jax.random.split(rng_key)
             node_keys = jax.random.split(sk, n_nodes)
             new_stacked, loss = fed_step(
-                stacked, node_keys, jnp.asarray(np.stack(imgs)),
-                jnp.asarray(np.stack(labs)), jnp.asarray(np.stack(masks)), lr,
+                stacked, node_keys, jnp.stack(imgs),
+                jnp.asarray(np.stack([np.asarray(l) for l in labs])),
+                jnp.asarray(np.stack([np.asarray(m) for m in masks])), lr,
             )
             act = jnp.asarray(active)
 

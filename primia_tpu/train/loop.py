@@ -137,10 +137,21 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     start_at_epoch = 1
     if args.resume_checkpoint:
+        # reference handles all 4 (was-federated x is-federated) cases
+        # (train.py:345-389); this is the (x -> local) half
         state = ckpt.load_model(args.resume_checkpoint)
         start_at_epoch = int(state["epoch"]) + 1
         msd = state["model_state_dict"]
-        ts = TrainState(msd["params"], msd["state"], state["optim_state_dict"])
+        osd = state["optim_state_dict"]
+        was_fed = bool(getattr(state["args"], "train_federated", False))
+        if was_fed or isinstance(osd, dict):
+            # federated checkpoints carry a per-worker optimizer dict;
+            # a local continuation starts the optimizer fresh
+            osd = optimizer.init(msd["params"])
+            if verbose:
+                print("Resuming a federated checkpoint locally: "
+                      "optimizer state reset")
+        ts = TrainState(msd["params"], msd["state"], osd)
         if verbose:
             print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
 

@@ -2,6 +2,8 @@
 checkpoint round-trip, metrics, and an end-to-end 2-epoch fit on the
 fixture dataset."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -255,3 +257,41 @@ def test_fit_end_to_end(fixture_dir, tmp_path, monkeypatch):
     out = infer_run(A())
     assert set(out) == {"Inference Results"}
     assert len(out["Inference Results"]) == 4
+
+
+def test_resume_four_way(tmp_path, fixture_dir):
+    """The reference's 4 (was-federated x is-federated) resume
+    combinations (train.py:345-389)."""
+    import shutil
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.train.loop import main as train_main
+
+    def mk_args(fed, resume=None):
+        return Arguments(
+            model="simpleconv", train_resolution=28, inference_resolution=28,
+            batch_size=4, test_batch_size=4, epochs=2 if resume else 1,
+            test_interval=1, lr=1e-3, end_lr=1e-3, deterministic=True, seed=0,
+            pretrained=False, train_federated=fed, unencrypted_aggregation=True,
+            sync_every_n_batch=2, repetitions_dataset=1, save_file="",
+            data_dir=str((fixture_dir / "train") if not fed else srv),
+            resume_checkpoint=resume, keep_optim_dict=False,
+        )
+
+    # build a worker tree for the federated cases
+    from primia_tpu.data.distribute import distribute
+
+    srv = tmp_path / "srv"
+    distribute(fixture_dir / "train", srv, num_workers=3, validation_split=25)
+
+    wdir = str(tmp_path / "w")
+    for was_fed in (False, True):
+        train_main(mk_args(was_fed), verbose=False, weights_dir=wdir)
+        ckpts = sorted(Path(wdir).glob("final_*.pt"))
+        assert ckpts, "no checkpoint written"
+        ck = str(ckpts[-1])
+        for is_fed in (False, True):
+            train_main(mk_args(is_fed, resume=ck), verbose=False,
+                       weights_dir=str(tmp_path / f"w_{was_fed}_{is_fed}"))
+        for c in Path(wdir).glob("*.pt"):
+            c.unlink()
