@@ -188,3 +188,33 @@ def test_figure_writefile_and_visualize(tmp_path, monkeypatch):
         assert (tmp_path / "r.png").is_file()
     except ImportError:
         pass
+
+
+# ------------------------------------------------------------ observability
+
+def test_logging_engine_records_ops():
+    import jax
+
+    from primia_tpu.config import Arguments
+    from primia_tpu.nn import create_model
+    from primia_tpu.nn.core import PLAIN
+    from primia_tpu.utils import LoggingEngine
+
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, pretrained=False)
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    eng = LoggingEngine(PLAIN)
+    x = jax.numpy.zeros((1, 28, 28, 1), jax.numpy.float32)
+    md.forward(params, state, x, E=eng, train=False)
+    ops = [op for op, _ in eng.log]
+    assert "conv2d" in ops and "linear" in ops
+    assert "conv2d" in eng.summary()
+
+
+def test_profile_host_only(capsys):
+    from primia_tpu.utils import profile
+
+    with profile(host_only=True):
+        pass
+    assert "[profile] wall" in capsys.readouterr().out
