@@ -5,9 +5,7 @@ Thin shim over ``primia_tpu.cli.inference`` (plain, remote and
 ``--encrypted_inference`` SMPC modes).
 """
 
-import sys
-
 from primia_tpu.cli.inference import main
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    main()  # raises on failure; success exits 0

@@ -100,7 +100,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=200)
     p.add_argument("--resolution", type=int, default=224)
     p.add_argument("--model", default="resnet-18")
-    p.add_argument("--pretrained", action="store_true", default=True)
+    p.add_argument("--pretrained", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--storage", default="model_weights/hpo_study.json")
     cmdln = p.parse_args(argv)
 

@@ -148,7 +148,10 @@ class BatchLoader:
             mask = np.ones(len(idx), np.float32)
             if len(idx) < B and self.pad_final:
                 pad = B - len(idx)
-                xp = np if isinstance(imgs, np.ndarray) else __import__("jax.numpy", fromlist=["jnp"])
+                if isinstance(imgs, np.ndarray):
+                    xp = np
+                else:
+                    import jax.numpy as xp
                 imgs = xp.concatenate(
                     [imgs, xp.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
                 if labs is not None:

@@ -51,7 +51,7 @@ def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.n
 
 
 def resample_bilinear_mxu(imgs: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
-                          rows_per_chunk: int = 16) -> jnp.ndarray:
+                          max_chunk_px: int = 4096) -> jnp.ndarray:
     """Batched bilinear resampling as dense tent-weight contractions.
 
     TPU gathers are serialized scalar loads — the XLA lowering of
@@ -65,13 +65,14 @@ def resample_bilinear_mxu(imgs: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     gather path's zero fill bit-for-bit (up to bf16 weight rounding).
 
     imgs (B,H,W,C); ys/xs (B,Ho,Wo) absolute source coords. Output pixels
-    are processed in row chunks so the (B, chunk, W) weight matrices stay
-    ~100 MB; chunks run under ``lax.map`` (one compiled body).
+    are processed in chunks of at most ``max_chunk_px`` pixels (keeps the
+    (B, chunk, W) weight matrices ~100 MB at batch 64); chunks run under
+    ``lax.map`` (one compiled body).
     """
     B, H, W, C = imgs.shape
     Ho, Wo = ys.shape[1:]
     rows = 1
-    for cand in range(min(Ho, max(1, 4096 // Wo)), 0, -1):
+    for cand in range(min(Ho, max(1, max_chunk_px // Wo)), 0, -1):
         if Ho % cand == 0:
             rows = cand
             break

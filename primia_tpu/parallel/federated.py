@@ -130,6 +130,12 @@ def main_federated_ws(args: Arguments, verbose: bool = True,
 
     timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     exp_name = "federated_{:s}_{:s}".format(args.data_dir.replace("/", ""), timestamp)
+
+    from primia_tpu.train.monitor import Monitor, NullMonitor
+
+    mon = Monitor(exp_name) if args.visdom else NullMonitor()
+    if args.visdom and verbose:
+        print(f"Live dashboard: {mon.html}")
     clients = {
         w: c for w, c in clients_from_csv(config_csv).items()
         if w != "crypto_provider"
@@ -242,6 +248,12 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     exp_name = "federated_{:s}_{:s}".format(args.data_dir.replace("/", ""), timestamp)
 
+    from primia_tpu.train.monitor import Monitor, NullMonitor
+
+    mon = Monitor(exp_name) if args.visdom else NullMonitor()
+    if args.visdom and verbose:
+        print(f"Live dashboard: {mon.html}")
+
     (worker_names, node_imgs, node_labels, val_imgs, val_labels, mean, std,
      class_names) = setup_federated(args, verbose)
     n_nodes = len(worker_names)
@@ -309,12 +321,17 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     val_loader = BatchLoader(val_imgs, val_labels, args.test_batch_size,
                              shuffle=False, pad_final=True)
 
+    agg_round = [0]  # fresh dealer randomness per sync: repeated masks
+    # would let a party cancel them across rounds and see update deltas
+
     def aggregate(st: TrainState) -> TrainState:
+        agg_round[0] += 1
+        agg_key = jax.random.fold_in(jax.random.fold_in(key, 777), agg_round[0])
         tree = {"params": st.params, "state": st.model_state}
         if args.unencrypted_aggregation:
             agg = plain_fedavg(tree, agg_weights)
         else:
-            agg = secure_fedavg(jax.random.fold_in(key, 777), tree, agg_weights,
+            agg = secure_fedavg(agg_key, tree, agg_weights,
                                 args.precision_fractional)
         new_params = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (n_nodes, *a.shape)), agg["params"]
@@ -385,12 +402,16 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             if batch_idx > 0 and batch_idx % args.sync_every_n_batch == 0:
                 stacked = aggregate(stacked)
         stacked = aggregate(stacked)
+        mon.add_scalar("train_loss", epoch, float(np.mean(losses)))
+        mon.add_scalar("lr", epoch, float(lr))
         if verbose:
             print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, float(np.mean(losses))))
 
         if (epoch % args.test_interval) == 0:
-            _, matthews = run_eval(eval_step, *local_model(stacked), val_loader,
-                                   epoch, class_names, verbose)
+            val_loss, matthews = run_eval(eval_step, *local_model(stacked), val_loader,
+                                          epoch, class_names, verbose)
+            mon.add_scalar("val_loss", epoch, float(val_loss))
+            mon.add_scalar("val_mcc", epoch, float(matthews))
             model_path = os.path.join(
                 weights_dir,
                 "{:s}_epoch_{:03d}.pt".format(

@@ -45,6 +45,13 @@ class GridNode:
         self.id = node_id
         self.store: Dict[str, np.ndarray] = {}
         self.models: Dict[str, dict] = {}  # hosted models (serve_model)
+        # node-private share-stream secret: the client-supplied seed only
+        # makes the two parties' requests CONSISTENT; the actual mask is
+        # keyed by this secret, so no requester can recompute the other
+        # party's share and reconstruct the plaintext
+        import os as _os
+
+        self._share_secret = _os.urandom(16)
         self.config_path = config
         self.inference_resolution = inference_resolution
         self.channels = channels
@@ -157,17 +164,24 @@ class GridNode:
         else:
             return {"error": "no images supplied and no hosted #inference_data"}
         args = Arguments.from_dict(json.loads(m["args"]))
-        model_def = create_model(args, num_classes=args.num_classes)
-        if msg.get("encrypted"):
-            from primia_tpu.mpc.inference import build_encrypted_predict
+        # memoize the traced predict fn per (mode, protocol, seed): the
+        # encrypted graph takes minutes to trace/compile cold
+        cache_key = (bool(msg.get("encrypted")), msg.get("protocol", "snn"),
+                     int(msg.get("seed", 0)))
+        predict = m.setdefault("_predict_cache", {}).get(cache_key)
+        if predict is None:
+            model_def = create_model(args, num_classes=args.num_classes)
+            if msg.get("encrypted"):
+                from primia_tpu.mpc.inference import build_encrypted_predict
 
-            predict = build_encrypted_predict(
-                model_def, args, m["mean"], m["std"],
-                seed=int(msg.get("seed", 0)),
-                protocol=msg.get("protocol", "snn"),
-            )
-        else:
-            predict = build_predict_step(model_def, args, m["mean"], m["std"])
+                predict = build_encrypted_predict(
+                    model_def, args, m["mean"], m["std"],
+                    seed=int(msg.get("seed", 0)),
+                    protocol=msg.get("protocol", "snn"),
+                )
+            else:
+                predict = build_predict_step(model_def, args, m["mean"], m["std"])
+            m["_predict_cache"][cache_key] = predict
         logits = np.asarray(predict(m["params"], m["model_state"], images))
         return {"logits": logits, "predictions": logits.argmax(1).astype(np.int32)}
 
@@ -198,7 +212,16 @@ class GridNode:
         else:
             x = data
         frac = int(msg.get("frac_bits", fixed.DEFAULT_FRAC_BITS))
-        s0, s1 = native.encode_and_share(x, frac, int(msg.get("seed", 0)))
+        # mask = PRG(node_secret || tag || client_seed): deterministic per
+        # (tag, seed) so both parties' fetches line up, but unpredictable
+        # to any requester (a client-chosen seed alone must never let
+        # party 1 recompute party 0's mask and unmask the data)
+        import hashlib
+
+        seed_bytes = hashlib.sha256(
+            self._share_secret + tag.encode() + str(int(msg.get("seed", 0))).encode()
+        ).digest()
+        s0, s1 = native.encode_and_share(x, frac, seed_bytes)
         if party in (0, 1):
             return {"tag": tag, "share": (s0 if party == 0 else s1),
                     "party": party, "frac_bits": frac}

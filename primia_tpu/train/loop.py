@@ -228,6 +228,13 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             matthews_scores.append(matthews)
             model_paths.append(model_path)
 
+    if not matthews_scores:
+        # resumed at/after the final epoch: nothing to train or select
+        if verbose:
+            print(f"Nothing to do: resume epoch {start_at_epoch} is past "
+                  f"epochs={args.epochs}")
+        return 0.0
+
     # last occurrence of the highest score wins (reference train.py:519-533)
     rev = np.array(matthews_scores)[::-1]
     best_score_idx = int(np.argmax(rev))

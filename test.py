@@ -5,9 +5,7 @@ Thin shim over ``primia_tpu.cli.evaluate`` — plaintext test-set metrics
 (confusion matrix, per-class recall/precision/F1, MCC, ROC-AUC).
 """
 
-import sys
-
 from primia_tpu.cli.evaluate import main
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    main()  # raises on failure; success exits 0
