@@ -55,7 +55,7 @@ def uses_onehot_loss(args) -> bool:
 
 def build_train_step(model_def, optimizer, args, mean, std,
                      class_weights: Optional[np.ndarray] = None,
-                     donate: bool = True):
+                     donate: bool = True, jit_compile: bool = True):
     """Returns jitted ``step(ts, key, images_u8, labels, mask, lr)
     -> (ts, loss)``.
 
@@ -102,7 +102,9 @@ def build_train_step(model_def, optimizer, args, mean, std,
         return TrainState(new_p, new_ms, new_opt), loss
 
     # the federated driver keeps the pre-step state alive for masking, so
-    # donation must be optional
+    # donation must be optional; multi-chip wrappers re-jit with shardings
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

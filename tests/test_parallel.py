@@ -1,0 +1,71 @@
+"""Multi-chip data parallelism on the 8-device CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from primia_tpu.config import Arguments
+from primia_tpu.nn import create_model
+from primia_tpu.parallel.data_parallel import (
+    data_parallel_mesh, replicate, shard_batch, shard_eval_step, shard_train_step,
+)
+from primia_tpu.train.optim import make_optimizer
+from primia_tpu.train.steps import TrainState, build_train_step
+
+
+def _setup(batch=16):
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, batch_size=batch,
+                     pretrained=False, rotation=5.0, noise_std=0.01,
+                     noise_prob=0.5)
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(args)
+    ts = TrainState(params, state, opt.init(params))
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (batch, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 3, batch, dtype=np.int32)
+    mask = np.ones(batch, np.float32)
+    return args, md, opt, ts, imgs, labels, mask
+
+
+def test_dp_sharded_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    args, md, opt, ts, imgs, labels, mask = _setup()
+    mesh = data_parallel_mesh(8)
+
+    single = build_train_step(md, opt, args, np.array([0.5]), np.array([0.25]),
+                              donate=False)
+    sharded = shard_train_step(md, opt, args, np.array([0.5]), np.array([0.25]),
+                               mesh=mesh, donate=False)
+
+    key = jax.random.PRNGKey(7)
+    ts1, loss1 = single(ts, key, imgs, labels, mask, 1e-3)
+    ts2, loss2 = sharded(
+        replicate(ts, mesh), key,
+        *shard_batch((jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask)),
+                     mesh),
+        1e-3,
+    )
+    # same math, different partitioning: reductions may reassociate
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = jax.tree.leaves(ts1.params)
+    l2 = jax.tree.leaves(ts2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # the sharded output really is replicated across all 8 devices
+    assert ts2.params is not None
+    sh = jax.tree.leaves(ts2.params)[0].sharding
+    assert sh.is_fully_replicated
+
+
+def test_dp_eval_step_sharded_logits():
+    args, md, opt, ts, imgs, labels, mask = _setup()
+    mesh = data_parallel_mesh(8)
+    ev = shard_eval_step(md, args, np.array([0.5]), np.array([0.25]), mesh=mesh)
+    loss, logits = ev(replicate(ts.params, mesh), replicate(ts.model_state, mesh),
+                      *shard_batch((jnp.asarray(imgs), jnp.asarray(labels),
+                                    jnp.asarray(mask)), mesh))
+    assert logits.shape == (16, 3)
+    assert np.isfinite(float(loss))
