@@ -195,3 +195,48 @@ def test_model_hosting_and_remote_inference(node_server):
         assert client.send({"type": "list_models"})["models"] == []
     finally:
         client.close()
+
+
+def test_sandbox_in_process():
+    """create_sandbox: toy grid, searchable, MPC-ready (reference
+    sy.create_sandbox, syft/sandbox.py)."""
+    from primia_tpu.sandbox import create_sandbox
+
+    sb = create_sandbox(n_per_class=2, resolution=8)
+    try:
+        assert set(sb.nodes) == {"alice", "bob", "charlie", "crypto_provider"}
+        found = sb.grid.search("#traindata")
+        assert set(found) == {"alice", "bob", "charlie"}
+        assert sb.nodes["alice"].store["#traindata"].shape == (6, 8, 8, 1)
+    finally:
+        sb.close()
+
+
+def test_data_shares_not_derivable_from_seed():
+    """Security regression: a requester knowing only (tag, seed) must not
+    be able to recompute the other party's share and unmask the data."""
+    from primia_tpu import native
+    from primia_tpu.serve.node import GridNode
+
+    node = GridNode("data_owner")
+    secret = np.linspace(-1, 1, 16, dtype=np.float32).reshape(1, 4, 4, 1)
+    node.store["#inference_data"] = secret
+    r1 = node.handle({"type": "get_data_shares", "party": 1, "seed": 42})
+
+    # attacker: derive party-0's share from the public seed
+    guess0, _ = native.encode_and_share(np.zeros_like(secret), 16, 42)
+    rec = (guess0.view(np.uint64) + r1["share"].view(np.uint64)).view(np.int64)
+    dec = np.asarray(rec, np.float64) / (1 << 16)
+    assert not np.allclose(dec, secret, atol=1e-3)
+
+    # ...while the two legitimate party fetches still reconstruct
+    r0 = node.handle({"type": "get_data_shares", "party": 0, "seed": 42})
+    rec = (r0["share"].view(np.uint64) + r1["share"].view(np.uint64)).view(np.int64)
+    np.testing.assert_allclose(np.asarray(rec, np.float64) / (1 << 16), secret,
+                               atol=2 ** -15)
+
+    # a different node (different node secret) produces different shares
+    node2 = GridNode("data_owner")
+    node2.store["#inference_data"] = secret
+    r0b = node2.handle({"type": "get_data_shares", "party": 0, "seed": 42})
+    assert not np.array_equal(r0b["share"], r0["share"])
