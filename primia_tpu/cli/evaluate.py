@@ -53,7 +53,7 @@ def main(argv=None):
     msd = state["model_state_dict"]
     predict = build_predict_step(model_def, args, mean, std)
 
-    loader = BatchLoader(imgs, labels, args.test_batch_size, shuffle=False,
+    loader = BatchLoader(imgs, labels, max(args.test_batch_size, 64), shuffle=False,
                          pad_final=True)
     preds, targets, scores = [], [], []
     for batch in loader:

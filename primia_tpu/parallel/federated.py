@@ -162,7 +162,7 @@ def main_federated_ws(args: Arguments, verbose: bool = True,
     params = jax.tree.map(np.asarray, params)
     state = jax.tree.map(np.asarray, state)
     eval_step = build_eval_step(model_def, args, mean, std)
-    val_loader = BatchLoader(val_imgs, val_labels, args.test_batch_size,
+    val_loader = BatchLoader(val_imgs, val_labels, max(args.test_batch_size, 64),
                              shuffle=False, pad_final=True)
     scheduler = make_scheduler(args)
 
@@ -318,7 +318,7 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     else:
         agg_weights = np.full(n_nodes, 1.0 / n_nodes)
 
-    val_loader = BatchLoader(val_imgs, val_labels, args.test_batch_size,
+    val_loader = BatchLoader(val_imgs, val_labels, max(args.test_batch_size, 64),
                              shuffle=False, pad_final=True)
 
     agg_round = [0]  # fresh dealer randomness per sync: repeated masks

@@ -169,8 +169,12 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         to_device_resident(train_imgs), train_labels, args.batch_size,
         shuffle=True, seed=args.seed, pad_final=False,
     )
+    # eval results are batch-size invariant (inference-mode BN, masked
+    # padding), so the loader floors tiny test_batch_size values: the
+    # canonical INI says 1, which on an accelerator means one dispatch
+    # per image
     val_loader = BatchLoader(
-        to_device_resident(val_imgs), val_labels, args.test_batch_size,
+        to_device_resident(val_imgs), val_labels, max(args.test_batch_size, 64),
         shuffle=False, pad_final=True,
     )
 
