@@ -176,20 +176,30 @@ def main_federated_ws(args: Arguments, verbose: bool = True,
         rounds = 1
         losses = []
         for r in range(1000):  # bounded by the largest shard
-            results = {}
-            for w, c in clients.items():
-                out = c.send({
+            # fan the round out to every node concurrently (the
+            # reference's async_dispatch, base.py:483-491 — one thread
+            # per node instead of asyncio since each RPC is one blocking
+            # request/response)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one_round(item):
+                w, c = item
+                return w, c.send({
                     "type": "train_round", "args": args.to_json(),
                     "params": _flatten(params), "model_state": _flatten(state),
                     "n_steps": steps_round, "lr": lr,
                     "seed": args.seed + epoch * 1000 + r,
                     "num_classes": num_classes,
                 })
-                if "error" in out:
-                    raise RuntimeError(f"{w}: {out['error']}")
-                results[w] = out
-                counts[w] = out["n_batches"] * max(args.repetitions_dataset, 1)
-                losses.append(out["loss"])
+
+            results = {}
+            with ThreadPoolExecutor(max_workers=n_nodes) as ex:
+                for w, out in ex.map(one_round, clients.items()):
+                    if "error" in out:
+                        raise RuntimeError(f"{w}: {out['error']}")
+                    results[w] = out
+                    counts[w] = out["n_batches"] * max(args.repetitions_dataset, 1)
+                    losses.append(out["loss"])
             total = sum(counts.values())
             agg_w = (np.array([counts[w] / total for w in worker_names])
                      if args.weighted_averaging
