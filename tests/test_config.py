@@ -127,3 +127,30 @@ def test_worker_csv(tmp_path):
     cfg = read_worker_config(p)
     assert set(cfg) == {"alice", "bob", "charlie", "crypto_provider"}
     assert cfg["bob"]["port"] == "8778"
+
+
+def test_all_shipped_and_reference_inis_parse():
+    """Every configs/torch INI — ours and, when mounted, the reference's
+    — must produce a valid Arguments."""
+    import configparser
+    import glob
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    ini_files = sorted(glob.glob(str(repo / "configs/torch/*.ini")))
+    ref = Path("/root/reference/configs/torch")
+    if ref.is_dir():
+        ini_files += sorted(glob.glob(str(ref / "*.ini")))
+    assert len(ini_files) >= 7
+    for f in ini_files:
+        cp = configparser.ConfigParser()
+        assert cp.read(f), f
+        ns = argparse.Namespace(
+            config=f, train_federated=False, unencrypted_aggregation=False,
+            data_dir="data/train", visdom=False, cuda=False,
+            resume_checkpoint=None, websockets=False, verbose=False,
+            save_file=None, training_name=None,
+        )
+        args = Arguments.from_namespace(ns, cp, "train")
+        args.validate()
+        assert args.model in ("resnet-18", "vgg16", "simpleconv"), f
