@@ -145,12 +145,7 @@ def test_all_shipped_and_reference_inis_parse():
     for f in ini_files:
         cp = configparser.ConfigParser()
         assert cp.read(f), f
-        ns = argparse.Namespace(
-            config=f, train_federated=False, unencrypted_aggregation=False,
-            data_dir="data/train", visdom=False, cuda=False,
-            resume_checkpoint=None, websockets=False, verbose=False,
-            save_file=None, training_name=None,
-        )
-        args = Arguments.from_namespace(ns, cp, "train")
+        del cp
+        args = Arguments.from_ini(f, mode="train")
         args.validate()
         assert args.model in ("resnet-18", "vgg16", "simpleconv"), f
