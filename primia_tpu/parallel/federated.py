@@ -334,26 +334,33 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
     agg_round = [0]  # fresh dealer randomness per sync: repeated masks
     # would let a party cancel them across rounds and see update deltas
 
-    def aggregate(st: TrainState) -> TrainState:
-        agg_round[0] += 1
-        agg_key = jax.random.fold_in(jax.random.fold_in(key, 777), agg_round[0])
-        tree = {"params": st.params, "state": st.model_state}
+    # the whole aggregation (encode -> share -> node-sum -> reveal ->
+    # re-broadcast) must be ONE compiled program: eagerly it is ~1000
+    # small dispatches per sync (~30s/epoch through a tunneled link)
+    @jax.jit
+    def _agg_core(p, s, agg_key):
+        tree = {"params": p, "state": s}
         if args.unencrypted_aggregation:
             agg = plain_fedavg(tree, agg_weights)
         else:
             agg = secure_fedavg(agg_key, tree, agg_weights,
                                 args.precision_fractional)
-        new_params = jax.tree.map(
+        bp = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (n_nodes, *a.shape)), agg["params"]
         )
-        new_state = jax.tree.map(
+        bs = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (n_nodes, *a.shape)), agg["state"]
         )
+        return bp, bs
+
+    stacked_opt_init = jax.jit(jax.vmap(optimizer.init))
+
+    def aggregate(st: TrainState) -> TrainState:
+        agg_round[0] += 1
+        agg_key = jax.random.fold_in(jax.random.fold_in(key, 777), agg_round[0])
+        new_params, new_state = _agg_core(st.params, st.model_state, agg_key)
         opt = stacked_opt_init(new_params) if not args.keep_optim_dict else st.opt_state
         return TrainState(new_params, new_state, opt)
-
-    def stacked_opt_init(stacked_params):
-        return jax.vmap(optimizer.init)(stacked_params)
 
     def local_model(st: TrainState):
         # after aggregate() every replica holds the aggregated model
