@@ -279,10 +279,23 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     optimizer = make_optimizer(args)
     scheduler = make_scheduler(args)
-    train_step = build_train_step(model_def, optimizer, args, mean, std, cw,
-                                  donate=False)
-    # one program for all nodes: vmap over the stacked node axis
-    fed_step = jax.vmap(train_step, in_axes=(0, 0, 0, 0, 0, None))
+    train_step_raw = build_train_step(model_def, optimizer, args, mean, std, cw,
+                                      donate=False, jit_compile=False)
+    # one program for all nodes: vmap over the stacked node axis, with
+    # the inactive-node masking fused in, under ONE outer jit. (An outer
+    # vmap around an inner jit re-traces the whole step on every call.)
+    _fed_vmapped = jax.vmap(train_step_raw, in_axes=(0, 0, 0, 0, 0, None))
+
+    def _fed_step_masked(st, node_keys, imgs, labs, masks, lr, act):
+        new_st, loss = _fed_vmapped(st, node_keys, imgs, labs, masks, lr)
+
+        def mask_leaf(new, old):
+            m = act.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m > 0, new, old)
+
+        return jax.tree.map(mask_leaf, new_st, st), loss
+
+    fed_step = jax.jit(_fed_step_masked, donate_argnums=(0,))
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
     start_at_epoch = 1
@@ -402,27 +415,30 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
                 active.append(1.0)
             rng_key, sk = jax.random.split(rng_key)
             node_keys = jax.random.split(sk, n_nodes)
-            new_stacked, loss = fed_step(
+            stacked, loss = fed_step(
                 stacked, node_keys, jnp.stack(imgs),
                 jnp.asarray(np.stack([np.asarray(l) for l in labs])),
                 jnp.asarray(np.stack([np.asarray(m) for m in masks])), lr,
+                jnp.asarray(active),
             )
-            act = jnp.asarray(active)
-
-            def mask_leaf(new, old):
-                m = act.reshape((-1,) + (1,) * (new.ndim - 1))
-                return jnp.where(m > 0, new, old)
-
-            stacked = jax.tree.map(mask_leaf, new_stacked, stacked)
-            losses.extend(float(l) for l, a in zip(loss, active) if a)
+            # defer host syncs to epoch end: one device fetch per batch
+            # would serialize the loop against the link latency
+            losses.append((loss, active))
 
             if batch_idx > 0 and batch_idx % args.sync_every_n_batch == 0:
                 stacked = aggregate(stacked)
         stacked = aggregate(stacked)
-        mon.add_scalar("train_loss", epoch, float(np.mean(losses)))
+        epoch_losses = [
+            float(l)
+            for dev, act in losses
+            for l, a in zip(np.asarray(dev), act)
+            if a
+        ]
+        mon.add_scalar("train_loss", epoch, float(np.mean(epoch_losses)))
         mon.add_scalar("lr", epoch, float(lr))
         if verbose:
-            print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, float(np.mean(losses))))
+            print("Train Epoch: {} \tLoss: {:.6f}".format(
+                epoch, float(np.mean(epoch_losses))))
 
         if (epoch % args.test_interval) == 0:
             val_loss, matthews = run_eval(eval_step, *local_model(stacked), val_loader,
