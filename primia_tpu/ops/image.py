@@ -179,6 +179,116 @@ def equalize(imgs: jnp.ndarray) -> jnp.ndarray:
     return out.astype(imgs.dtype) / 255.0
 
 
+def clahe_mxu(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
+              chunk: int = 8) -> jnp.ndarray:
+    """CLAHE as one-hot matmuls — the TPU formulation.
+
+    The gather formulation below costs ~1.9 s for 200 images at 224px
+    (TPU gathers serialize); here both hot parts become MXU work:
+
+    * per-tile histograms: ``ones @ onehot(pixels)``;
+    * LUT application: group pixels on a half-tile-shifted grid so all
+      pixels in a group share the same four neighbour tiles, then
+      ``onehot(pixels) @ [LUT00 LUT01 LUT10 LUT11]`` is one batched
+      matmul per group, mixed with the per-pixel bilinear weights.
+
+    Exact vs the gather path: one-hot and LUT entries (ints <= 255) are
+    exact in bf16 and the dots accumulate in f32.
+    """
+    B, H, W, C = imgs.shape
+    T = tiles
+    th, tw = -(-H // T), -(-W // T)
+    padH, padW = th * T - H, tw * T - W
+    u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.int32)
+    if padH or padW:
+        u8 = jnp.pad(u8, ((0, 0), (0, padH), (0, padW), (0, 0)), mode="edge")
+    Hp, Wp = th * T, tw * T
+    N = B * C
+    x = u8.transpose(0, 3, 1, 2).reshape(N, Hp, Wp)  # image-channel batch
+
+    levels = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    P = th * tw
+    limit = max(clip_limit * P / 256.0, 1.0)
+
+    # LUT-interp weights on the UNPADDED pixel grid (identical math to
+    # the gather path)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (Hp, Wp), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (Hp, Wp), 1)
+    fy = (ys - th / 2.0) / th
+    fx = (xs - tw / 2.0) / tw
+    wy = jnp.clip(fy - jnp.clip(jnp.floor(fy), 0, T - 1), 0.0, 1.0)
+    wx = jnp.clip(fx - jnp.clip(jnp.floor(fx), 0, T - 1), 0.0, 1.0)
+
+    # shifted grid: pad th/2 top / tw/2 left (plus remainder bottom/right)
+    # so every (T+1)x(T+1) group shares its 4 neighbour tiles
+    sh, sw = th // 2, tw // 2
+    x_sh = jnp.pad(x, ((0, 0), (sh, th - sh), (sw, tw - sw)), mode="edge")
+    wy_sh = jnp.pad(wy, ((sh, th - sh), (sw, tw - sw)))
+    wx_sh = jnp.pad(wx, ((sh, th - sh), (sw, tw - sw)))
+    G = T + 1
+    # group corner indices: group g reads tiles (clip(g-1), clip(g))
+    g0 = jnp.clip(jnp.arange(G) - 1, 0, T - 1)
+    g1 = jnp.clip(jnp.arange(G), 0, T - 1)
+
+    def blocks(a, n_lead, g):  # (..., g*th, g*tw) -> (..., g*g, th*tw)
+        s = a.shape[:n_lead]
+        a = a.reshape(*s, g, th, g, tw)
+        a = jnp.moveaxis(a, -3, -2)  # (..., g, g, th, tw)
+        return a.reshape(*s, g * g, th * tw)
+
+    wgt = jnp.stack(
+        [
+            (1 - wy_sh) * (1 - wx_sh),
+            (1 - wy_sh) * wx_sh,
+            wy_sh * (1 - wx_sh),
+            wy_sh * wx_sh,
+        ],
+        axis=0,
+    )  # (4, Hp+th, Wp+tw)
+    wgt_b = blocks(wgt, 1, G)  # (4, G*G, P)
+
+    n_c = min(chunk, N)
+    while N % n_c:
+        n_c -= 1
+    xs_all = x.reshape(N // n_c, n_c, Hp, Wp)
+    xsh_all = x_sh.reshape(N // n_c, n_c, Hp + th, Wp + tw)
+
+    def per_chunk(c):
+        xc, xshc = c  # (n_c, Hp, Wp), (n_c, Hp+th, Wp+tw)
+        # ---- histograms on the unshifted tile grid
+        tb = blocks(xc, 1, T)  # (n_c, T*T, P)
+        oh_h = (tb[..., None] == levels).astype(jnp.bfloat16)  # (n_c,T2,P,256)
+        hist = jnp.einsum("ntpv->ntv", oh_h,
+                          preferred_element_type=jnp.float32)
+        excess = jnp.sum(jnp.maximum(hist - limit, 0.0), -1, keepdims=True)
+        hist = jnp.minimum(hist, limit) + excess / 256.0
+        cdf = jnp.cumsum(hist, -1)
+        luts = jnp.clip(jnp.round(cdf / P * 255.0), 0, 255)  # (n_c, T2, 256)
+        luts2 = luts.reshape(-1, T, T, 256)
+
+        # 4 corner LUTs per shifted group: (n_c, G, G, 256, 4)
+        l00 = luts2[:, g0][:, :, g0]
+        l01 = luts2[:, g0][:, :, g1]
+        l10 = luts2[:, g1][:, :, g0]
+        l11 = luts2[:, g1][:, :, g1]
+        lut4 = jnp.stack([l00, l01, l10, l11], axis=-1)  # (n_c,G,G,256,4)
+        lut4 = lut4.reshape(-1, G * G, 256, 4).astype(jnp.bfloat16)
+
+        gb = blocks(xshc, 1, G)  # (n_c, G*G, P)
+        oh_a = (gb[..., None] == levels).astype(jnp.bfloat16)  # (n_c,GG,P,256)
+        out4 = jnp.einsum("ngpv,ngvc->ngpc", oh_a, lut4,
+                          preferred_element_type=jnp.float32)  # (n_c,GG,P,4)
+        out = jnp.einsum("cgp,ngpc->ngp", wgt_b.astype(jnp.float32), out4)
+        return out  # (n_c, G*G, P)
+
+    outs = jax.lax.map(per_chunk, (xs_all, xsh_all))  # (N/n_c, n_c, GG, P)
+    out = outs.reshape(N, G, G, th, tw)
+    out = jnp.moveaxis(out, 2, 3).reshape(N, Hp + th, Wp + tw)
+    out = out[:, sh : sh + H, sw : sw + W]  # un-shift, un-pad
+    out = out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    return (out / 255.0).astype(imgs.dtype)
+
+
 def clahe(
     imgs: jnp.ndarray,
     clip_limit: float = 1.0,
@@ -188,12 +298,16 @@ def clahe(
 
     OpenCV-style: per-tile clipped histograms -> per-tile LUTs ->
     bilinear interpolation between the four neighbouring tile LUTs.
-    Requires H and W divisible by ``tiles`` (true for 224/512 inputs).
     Operates on [0,1] float, luminance-style per channel.
+
+    On TPU dispatches to the matmul formulation (``clahe_mxu``); the
+    gather formulation below is the CPU/reference path.
 
     Reference pipeline applies ``a.CLAHE(clip_limit=(1,1))`` on uint8
     (``torchlib/dataloader.py:152-157``).
     """
+    if _use_mxu_resample():
+        return clahe_mxu(imgs, clip_limit, tiles)
     B, H, W, C = imgs.shape
     th, tw = -(-H // tiles), -(-W // tiles)  # ceil: any resolution
     padH, padW = th * tiles - H, tw * tiles - W
