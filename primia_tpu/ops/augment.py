@@ -155,9 +155,13 @@ def _hsv_to_rgb(x):
 
 
 def _coarse_field(key, B, H, W, coarse: int, amp) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Smooth random displacement fields (dy, dx), each (B,H,W)*amp px."""
+    """Smooth random displacement fields (dy, dx), each (B,H,W)*amp px.
+
+    Bilinear upsampling: visually equivalent smoothing for a random
+    field at ~2x the speed of bicubic on TPU (the field is warped with
+    sub-pixel interpolation anyway)."""
     f = jax.random.uniform(key, (B, 2, coarse, coarse), minval=-1.0, maxval=1.0)
-    up = jax.image.resize(f, (B, 2, H, W), method="bicubic")
+    up = jax.image.resize(f, (B, 2, H, W), method="bilinear")
     return up[:, 0] * amp[:, None, None], up[:, 1] * amp[:, None, None]
 
 

@@ -218,3 +218,43 @@ def test_profile_host_only(capsys):
     with profile(host_only=True):
         pass
     assert "[profile] wall" in capsys.readouterr().out
+
+
+# --------------------------------------------------------------- find_config
+
+def test_find_config_build_args_space():
+    """The HPO objective's Arguments stay valid across trials and cover
+    the reference's space (find_config.py:17-229)."""
+    import argparse
+
+    from primia_tpu.cli.find_config import build_args
+    from primia_tpu.train.hpo import Study
+
+    cmdln = argparse.Namespace(
+        federated=True, unencrypted_aggregation=True, websockets=False,
+        data_dir="data/server_simulation", epochs=24, batch_size=8,
+        resolution=28, model="simpleconv", pretrained=False,
+    )
+    import tempfile
+
+    study = Study(tempfile.mktemp(suffix=".json"), n_startup=100, seed=0)
+    for _ in range(5):
+        t = study.ask()
+        a = build_args(t, cmdln)
+        assert 1e-5 <= a.lr <= 1e-3
+        assert a.end_lr <= a.lr
+        assert a.epochs * a.repetitions_dataset <= 24 + 2
+        assert 1 <= a.sync_every_n_batch <= 10
+        study.tell(t, 0.0)
+
+
+def test_find_config_pretrained_flag_togglable():
+    import argparse
+
+    from primia_tpu.cli import find_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained", action=argparse.BooleanOptionalAction,
+                   default=True)
+    assert p.parse_args([]).pretrained is True
+    assert p.parse_args(["--no-pretrained"]).pretrained is False
