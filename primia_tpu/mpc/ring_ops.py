@@ -107,3 +107,32 @@ def ring_conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int) -> jn
 def ring_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Elementwise ring product (int64 elementwise works on all backends)."""
     return a * b
+
+
+def ring_conv_general(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides=(1, 1),
+    padding=((0, 0), (0, 0)),
+    lhs_dilation=None,
+    rhs_dilation=None,
+    dn=("NHWC", "HWIO", "NHWC"),
+) -> jnp.ndarray:
+    """Exact mod-2^64 ``conv_general_dilated`` — the general form needed
+    by the share-space convolution *gradients* (input grad = dilated
+    transposed conv, weight grad = batch-contracting conv with
+    rhs_dilation). Same limb decomposition as :func:`ring_conv2d`; the
+    int32 accumulation bound holds for the small-batch encrypted
+    training shapes (contraction depth < 2^17)."""
+    kw = dict(window_strides=strides, padding=padding,
+              lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+              dimension_numbers=dn)
+    if _use_native_int64():
+        return jax.lax.conv_general_dilated(x, w, **kw)
+
+    def conv_i8(xi, wi):
+        return jax.lax.conv_general_dilated(
+            xi, wi, preferred_element_type=jnp.int32, **kw)
+
+    return _limb_bilinear(conv_i8, x, w)
