@@ -125,6 +125,36 @@ class GridNetwork:
             raise RuntimeError(out["error"])
         return out
 
+    def serve_plan(self, node_id: str, plan) -> dict:
+        """Host a traced Plan on a node (reference
+        ``Plan.send``/plan hosting; see ``serve/plan.py``)."""
+        return self._by_id(node_id).send(
+            {"type": "host_plan", "name": plan.name, "blob": plan.serialize()})
+
+    def run_remote_plan(self, node_id: str, name: str, *args, input_tags=()):
+        """Execute a hosted plan remotely; extra inputs can come from
+        the node's own hosted tags so that data never travels."""
+        import jax
+
+        flat = [a for a in jax.tree.flatten(args)[0]]
+        out = self._by_id(node_id).send(
+            {"type": "run_plan", "name": name, "inputs": flat,
+             "input_tags": list(input_tags)})
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        outs = out["outputs"]
+        return outs[0] if len(outs) == 1 else outs
+
+    def fetch_plan(self, node_id: str, name: str):
+        """Download a hosted plan for local execution (reference
+        ``fetch_plan``)."""
+        from primia_tpu.serve.plan import Plan
+
+        out = self._by_id(node_id).send({"type": "get_plan", "name": name})
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        return Plan.deserialize(out["blob"])
+
     def _by_id(self, node_id: str) -> "NodeClient":
         for c in self.clients:
             if c.id == node_id:

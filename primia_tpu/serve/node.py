@@ -45,6 +45,8 @@ class GridNode:
         self.id = node_id
         self.store: Dict[str, np.ndarray] = {}
         self.models: Dict[str, dict] = {}  # hosted models (serve_model)
+        self.plans: Dict[str, bytes] = {}  # hosted plans (serve/plan.py)
+        self._plan_cache: Dict[str, object] = {}
         # node-private share-stream secret: the client-supplied seed only
         # makes the two parties' requests CONSISTENT; the actual mask is
         # keyed by this secret, so no requester can recompute the other
@@ -123,7 +125,42 @@ class GridNode:
             return {"ok": True}
         if op == "run_inference":
             return self._run_inference(msg)
+        if op == "host_plan":
+            self.plans[msg["name"]] = msg["blob"]
+            return {"ok": True, "name": msg["name"]}
+        if op == "list_plans":
+            return {"plans": sorted(self.plans)}
+        if op == "get_plan":
+            # plan download for local execution (reference plan fetch,
+            # syft/messaging PlanCommandMessage "fetch_plan")
+            if msg["name"] not in self.plans:
+                return {"error": f"no plan named {msg['name']!r}"}
+            return {"name": msg["name"], "blob": self.plans[msg["name"]]}
+        if op == "run_plan":
+            return self._run_plan(msg)
         return {"error": f"unknown message type {op!r}"}
+
+    def _run_plan(self, msg: dict) -> dict:
+        """Execute a hosted plan on supplied (or hosted) inputs."""
+        from primia_tpu.serve.plan import Plan
+
+        name = msg["name"]
+        if name not in self.plans:
+            return {"error": f"no plan named {name!r}"}
+        plan = self._plan_cache.get(name)
+        if plan is None:
+            plan = Plan.deserialize(self.plans[name])
+            self._plan_cache[name] = plan
+        inputs = [np.asarray(a) for a in msg.get("inputs", [])]
+        for tag in msg.get("input_tags", []):  # hosted-data inputs by tag
+            if tag not in self.store:
+                return {"error": f"no object tagged {tag}"}
+            inputs.append(self.store[tag])
+        try:
+            outs = plan.run_flat(inputs)
+        except ValueError as e:
+            return {"error": str(e)}
+        return {"outputs": outs}
 
     # ------------------------------------------------- model hosting
     # The reference hosts (encrypted) models on grid nodes and serves
