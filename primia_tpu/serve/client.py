@@ -21,7 +21,8 @@ class NodeClient:
     (``--http_protocol`` forces HTTP, as in the reference CLI)."""
 
     def __init__(self, node_id: str, host: str, port: int,
-                 http_only: bool = False, timeout: float = 600.0):
+                 http_only: bool = False, timeout: float = 600.0,
+                 user: Optional[str] = None):
         # generous default: remote MPC requests block on the node's
         # first XLA compile (the reference passes timeout=60000s for the
         # same reason, inference.py:121)
@@ -30,6 +31,9 @@ class NodeClient:
         self.port = int(port)
         self.http_only = http_only
         self.timeout = timeout
+        # credential presented against allowed-users-gated objects
+        # (the PrivateTensor role; see GridNode._permitted)
+        self.user = user
         self._ws = None
 
     def _ensure_ws(self):
@@ -50,6 +54,8 @@ class NodeClient:
             return unpack(resp.read())
 
     def send(self, msg: dict) -> dict:
+        if self.user is not None and "user" not in msg:
+            msg = {**msg, "user": self.user}
         if self.http_only:
             return self._http_send(msg)
         try:

@@ -47,6 +47,10 @@ class GridNode:
         self.models: Dict[str, dict] = {}  # hosted models (serve_model)
         self.plans: Dict[str, bytes] = {}  # hosted plans (serve/plan.py)
         self._plan_cache: Dict[str, object] = {}
+        # per-tag allowed-users gate — the PrivateTensor role
+        # (syft/.../interpreters/private.py): an object hosted with an
+        # allowed_users list is invisible to and unfetchable by others
+        self.acl: Dict[str, frozenset] = {}
         # node-private share-stream secret: the client-supplied seed only
         # makes the two parties' requests CONSISTENT; the actual mask is
         # keyed by this secret, so no requester can recompute the other
@@ -94,25 +98,46 @@ class GridNode:
 
     # ------------------------------------------------------------ handlers
 
+    def _permitted(self, tag: str, msg: dict) -> bool:
+        """allowed-users gate (reference PrivateTensor ``allowed_users``
+        + GetNotPermittedError semantics)."""
+        allowed = self.acl.get(tag)
+        return allowed is None or msg.get("user") in allowed
+
     def handle(self, msg: dict) -> dict:
         op = msg.get("type")
         if op == "status":
-            return {"id": self.id, "tags": sorted(self.store)}
+            return {"id": self.id, "tags": sorted(
+                t for t in self.store if self._permitted(t, msg))}
         if op == "search":
             q = msg.get("query", [])
-            return {"results": [t for t in self.store if t in q or not q]}
+            return {"results": [t for t in self.store
+                                if (t in q or not q) and self._permitted(t, msg)]}
         if op == "get_obj":
             tag = msg["tag"]
-            if tag not in self.store:
-                return {"error": f"no object tagged {tag}"}
+            if tag not in self.store or not self._permitted(tag, msg):
+                # identical answer whether absent or private: existence
+                # of a private object is itself private
+                return {"error": f"no object tagged {tag}",
+                        "not_permitted": tag in self.store}
             return {"tag": tag, "array": self.store[tag]}
         if op == "load_data":
             self.store[msg["tag"]] = msg["array"]
+            if msg.get("allowed_users"):
+                self.acl[msg["tag"]] = frozenset(msg["allowed_users"])
+            else:
+                self.acl.pop(msg["tag"], None)
             return {"ok": True}
         if op == "delete_obj":
+            if not self._permitted(msg["tag"], msg):
+                return {"error": "not permitted"}
             self.store.pop(msg["tag"], None)
+            self.acl.pop(msg["tag"], None)
             return {"ok": True}
         if op == "get_data_shares":
+            tag = msg.get("tag", "#inference_data")
+            if tag in self.store and not self._permitted(tag, msg):
+                return {"error": f"no object tagged {tag}", "not_permitted": True}
             return self._get_data_shares(msg)
         if op == "train_round":
             return self._train_round(msg)
@@ -153,7 +178,7 @@ class GridNode:
             self._plan_cache[name] = plan
         inputs = [np.asarray(a) for a in msg.get("inputs", [])]
         for tag in msg.get("input_tags", []):  # hosted-data inputs by tag
-            if tag not in self.store:
+            if tag not in self.store or not self._permitted(tag, msg):
                 return {"error": f"no object tagged {tag}"}
             inputs.append(self.store[tag])
         try:
