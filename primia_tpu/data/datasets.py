@@ -34,15 +34,24 @@ PIL_EXTENSIONS = {
 DICOM_EXTENSIONS = {".dcm", ".dicom"}
 
 
-def pil_loader(path: Union[str, Path], channels: int = 3) -> np.ndarray:
+def pil_loader(path: Union[str, Path], channels: int = 3,
+               target: Optional[int] = None) -> np.ndarray:
     """Decode an image file to HWC uint8 with the requested channel count.
 
     channels=3 mirrors torchvision's ``default_loader`` (RGB convert);
     channels=1 mirrors the reference ``single_channel_loader``
     (``torchlib/dataloader.py:247-253``).
+
+    ``target`` is a downstream resize hint: when the source is at least
+    2x larger, ``Image.draft`` lets libjpeg decode at a reduced DCT
+    scale (>= 2x the target, so the subsequent bilinear resize still
+    low-passes properly) — a ~2x single-core decode speedup on the
+    chest X-ray set with no measurable pixel difference after resize.
     """
     with open(path, "rb") as f:
         img = Image.open(f)
+        if target is not None and min(img.size) >= 2 * target:
+            img.draft(None, (2 * target, 2 * target))
         img = img.convert("RGB" if channels == 3 else "L")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
@@ -73,10 +82,11 @@ class CombinedLoader:
         self.channels = num_channels
         self.dicom = DicomLoader(num_channels)
 
-    def __call__(self, path: Union[str, Path]) -> np.ndarray:
+    def __call__(self, path: Union[str, Path],
+                 target: Optional[int] = None) -> np.ndarray:
         ext = os.path.splitext(str(path))[1].lower()
         if ext in PIL_EXTENSIONS:
-            return pil_loader(path, self.channels)
+            return pil_loader(path, self.channels, target=target)
         if ext in DICOM_EXTENSIONS:
             return self.dicom(path)
         raise RuntimeError(
@@ -108,7 +118,11 @@ def _decode_many(
     out = np.empty((len(paths), resolution, resolution, channels), np.uint8)
 
     def work(i):
-        out[i] = _resize_square(loader(paths[i]), resolution)
+        try:
+            img = loader(paths[i], target=resolution)
+        except TypeError:  # custom loaders without the resize hint
+            img = loader(paths[i])
+        out[i] = _resize_square(img, resolution)
 
     if len(paths) > 1:
         with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4)) as ex:
@@ -116,6 +130,54 @@ def _decode_many(
     elif paths:
         work(0)
     return out
+
+
+# ---------------------------------------------------------------------
+# materialization cache: decoding thousands of JPEGs costs ~a minute of
+# single-core time per run; the decoded uint8 stack is a pure function
+# of (file paths, sizes, mtimes, resolution, channels), so it is cached
+# on disk across processes. Disable with PRIMIA_MATERIALIZE_CACHE=0.
+
+def _cache_path(paths, resolution: int, channels: int) -> Optional[Path]:
+    if os.environ.get("PRIMIA_MATERIALIZE_CACHE", "1") == "0" or not paths:
+        return None
+    import hashlib
+
+    h = hashlib.sha1(f"{resolution}:{channels}".encode())
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    root = Path(os.environ.get("PRIMIA_CACHE_DIR",
+                               Path.home() / ".cache" / "primia_tpu"))
+    return root / "materialized" / f"{h.hexdigest()}.npy"
+
+
+def _cache_load(paths, resolution: int, channels: int) -> Optional[np.ndarray]:
+    cp = _cache_path(paths, resolution, channels)
+    if cp is None or not cp.is_file():
+        return None
+    try:
+        # memory-mapped: materialize returns instantly; pages fault in
+        # lazily (e.g. during the one-time device upload)
+        return np.load(cp, mmap_mode="r")
+    except Exception:
+        return None
+
+
+def _cache_store(paths, resolution: int, channels: int, imgs: np.ndarray) -> None:
+    cp = _cache_path(paths, resolution, channels)
+    if cp is None:
+        return
+    try:
+        cp.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cp.with_suffix(".tmp.npy")
+        np.save(tmp, imgs)  # raw .npy: mmap-able, and pixels don't zlib
+        os.replace(tmp, cp)
+    except OSError:
+        pass  # cache is best-effort (full disk, read-only home, ...)
 
 
 class Dataset:
@@ -130,8 +192,12 @@ class Dataset:
         return len(self.paths)
 
     def materialize(self, resolution: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        cached = _cache_load(self.paths, resolution, self.channels)
+        if cached is not None:
+            return cached, self.labels
         loader = CombinedLoader(self.channels)
         imgs = _decode_many(self.paths, loader, resolution, self.channels)
+        _cache_store(self.paths, resolution, self.channels, imgs)
         return imgs, self.labels
 
     def class_counts(self) -> np.ndarray:

@@ -87,19 +87,33 @@ def calc_mean_std(
     Matches the reference ``calc_mean_std`` (``torchlib/dataloader.py:220``):
     statistics of the ToTensor'd dataset, std with Bessel's correction
     (torch ``std_mean`` default).
-    """
-    import jax.numpy as jnp
 
+    Computed from exact per-channel value histograms: uint8 has 256
+    levels, so one bincount pass gives moments with zero rounding —
+    no float32 blow-up of the (possibly multi-GB) image array and no
+    host->device shipping of the whole dataset just for two scalars
+    per channel.
+    """
     x = images_u8
     if sample_limit is not None and len(x) > sample_limit:
         idx = np.linspace(0, len(x) - 1, sample_limit).astype(np.int64)
         x = x[idx]
-    xf = jnp.asarray(x, jnp.float32) / 255.0
-    axes = (0, 1, 2)
-    mean = jnp.mean(xf, axes)
-    n = xf.size // xf.shape[-1]
-    var = jnp.var(xf, axes) * (n / max(n - 1, 1))
-    return np.asarray(mean), np.asarray(jnp.sqrt(var))
+    c = x.shape[-1]
+    n = x.size // c
+    # exact integer moments, accumulated image-chunk-wise so the int64
+    # temporaries stay cache-sized (sum <= N*255, sumsq <= N*255^2:
+    # both far inside int64 for any realistic dataset)
+    s1 = np.zeros(c, np.int64)
+    s2 = np.zeros(c, np.int64)
+    flat = x.reshape(-1, c)
+    step = max(1, (1 << 24) // max(c, 1))  # ~16M pixels per chunk
+    for i in range(0, flat.shape[0], step):
+        chunk = flat[i : i + step].astype(np.int64)
+        s1 += chunk.sum(axis=0)
+        s2 += np.square(chunk).sum(axis=0)
+    mean = s1 / (255.0 * n)
+    var = (s2 / (255.0 * 255.0) - n * mean * mean) / max(n - 1, 1)
+    return mean, np.sqrt(np.maximum(var, 0.0))
 
 
 class BatchLoader:

@@ -237,6 +237,15 @@ def main_federated_ws(args: Arguments, verbose: bool = True,
             matthews_scores.append(matthews)
             model_paths.append(model_path)
 
+    if not matthews_scores:
+        # zero effective epochs (epochs < repetitions_dataset divides to
+        # 0) or no test interval hit: nothing was trained/selected
+        if verbose:
+            print(f"Nothing to do: no epochs ran (epochs={args.epochs})")
+        for c in clients.values():
+            c.close()
+        return 0.0
+
     rev = np.array(matthews_scores)[::-1]
     best_idx = int(np.argmax(rev))
     highest = len(rev) - best_idx - 1
@@ -428,10 +437,13 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             if batch_idx > 0 and batch_idx % args.sync_every_n_batch == 0:
                 stacked = aggregate(stacked)
         stacked = aggregate(stacked)
+        # ONE batched device fetch for the epoch's losses (each blocking
+        # per-batch fetch pays the full link round-trip)
+        fetched = jax.device_get([dev for dev, _ in losses])
         epoch_losses = [
             float(l)
-            for dev, act in losses
-            for l, a in zip(np.asarray(dev), act)
+            for dev, (_, act) in zip(fetched, losses)
+            for l, a in zip(dev, act)
             if a
         ]
         mon.add_scalar("train_loss", epoch, float(np.mean(epoch_losses)))
@@ -466,6 +478,13 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             )
             matthews_scores.append(matthews)
             model_paths.append(model_path)
+
+    if not matthews_scores:
+        # zero effective epochs (epochs < repetitions_dataset divides to
+        # 0) or no test interval hit: nothing was trained/selected
+        if verbose:
+            print(f"Nothing to do: no epochs ran (epochs={args.epochs})")
+        return 0.0
 
     rev = np.array(matthews_scores)[::-1]
     best_idx = int(np.argmax(rev))

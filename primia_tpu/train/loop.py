@@ -72,21 +72,23 @@ def run_eval(eval_step, params, model_state, loader, epoch, class_names,
              verbose=True):
     """One full validation pass -> (loss, objective=100*MCC); prints the
     stats table (reference ``test``, ``utils.py:1354-1467``)."""
-    losses, preds, targets, scores, masks = [], [], [], [], []
+    losses, logits_d, targets, keeps = [], [], [], []
     for batch in device_prefetch(loader):
         loss, logits = eval_step(params, model_state, batch.images, batch.labels,
                                  batch.mask)
-        losses.append(float(loss))
-        keep = batch.mask > 0
-        logits = np.asarray(logits)[keep]
-        preds.append(logits.argmax(1))
-        scores.append(logits)
-        targets.append(batch.labels[keep])
-    preds = np.concatenate(preds)
-    targets = np.concatenate(targets)
-    scores = np.concatenate(scores)
+        losses.append(loss)
+        logits_d.append(logits)
+        keeps.append(batch.mask > 0)
+        targets.append(batch.labels)
+    # one batched device->host fetch for the whole pass (per-batch
+    # float()/asarray() costs a blocking tunnel round-trip each)
+    losses, logits_h = jax.device_get((losses, logits_d))
+    scores = np.concatenate([lg[k] for lg, k in zip(logits_h, keeps)])
+    targets = np.concatenate([t[k] for t, k in zip(targets, keeps)])
+    preds = scores.argmax(1)
     test_loss = float(np.mean(losses))
-    m = M.evaluate_predictions(targets, preds, scores)
+    m = M.evaluate_predictions(targets, preds, scores,
+                               num_classes=len(class_names))
     if verbose:
         print(
             M.stats_table(
@@ -183,6 +185,10 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
+    # background checkpoint writer (one worker: writes stay ordered)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ckpt_writer = ThreadPoolExecutor(max_workers=1)
     for epoch in range(start_at_epoch, args.epochs + 1):
         lr = scheduler.get_lr(epoch - 1)
         avg_loss = []
@@ -190,7 +196,7 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             key, sk = jax.random.split(key)
             ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
             avg_loss.append(loss)
-        epoch_loss = float(np.mean([float(l) for l in avg_loss]))
+        epoch_loss = float(np.mean(jax.device_get(avg_loss)))
         mon.add_scalar("train_loss", epoch, epoch_loss)
         mon.add_scalar("lr", epoch, float(lr))
         if verbose:
@@ -227,10 +233,14 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             ckpt.save_model(
                 model_path, epoch=epoch, params=ts.params,
                 model_state=ts.model_state, opt_state=ts.opt_state, args=args,
-                val_mean_std=(mean, std),
+                val_mean_std=(mean, std), executor=ckpt_writer,
             )
             matthews_scores.append(matthews)
             model_paths.append(model_path)
+
+    # all checkpoint writes must hit disk before best-model selection
+    # copies/deletes them
+    ckpt_writer.shutdown(wait=True)
 
     if not matthews_scores:
         # resumed at/after the final epoch: nothing to train or select

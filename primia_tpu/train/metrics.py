@@ -28,12 +28,22 @@ def evaluate_predictions(
     targets: np.ndarray,
     preds: np.ndarray,
     logits: Optional[np.ndarray] = None,
+    num_classes: Optional[int] = None,
 ) -> Dict:
-    """All metrics the reference's ``test`` computes, as one dict."""
+    """All metrics the reference's ``test`` computes, as one dict.
+
+    ``num_classes`` pins the label set: a small (or skewed-node)
+    validation split may not contain every class, and sklearn would
+    otherwise drop the absent ones from the report/confusion matrix.
+    """
+    if num_classes is None:
+        num_classes = (logits.shape[1] if logits is not None
+                       else int(max(targets.max(), preds.max())) + 1)
+    labels = np.arange(num_classes)
     out: Dict = {}
-    out["conf_matrix"] = mt.confusion_matrix(targets, preds)
+    out["conf_matrix"] = mt.confusion_matrix(targets, preds, labels=labels)
     out["report"] = mt.classification_report(
-        targets, preds, output_dict=True, zero_division=0
+        targets, preds, labels=labels, output_dict=True, zero_division=0
     )
     out["matthews_coeff"] = mt.matthews_corrcoef(targets, preds)
     out["objective"] = 100.0 * out["matthews_coeff"]
@@ -89,7 +99,10 @@ def stats_table(
     rows.append(
         [
             "",
-            "{:.1f} %".format(100.0 * report["accuracy"]),
+            # sklearn reports "micro avg" instead of "accuracy" when an
+            # explicit label set is passed and some class is absent
+            "{:.1f} %".format(100.0 * report.get(
+                "accuracy", report.get("micro avg", {}).get("recall", 0.0))),
             "{:.3f}".format(matthews_coeff),
             "{:.3f}".format(roc_auc),
         ]

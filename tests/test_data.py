@@ -138,3 +138,71 @@ def test_batch_loader_shuffles_between_epochs():
     e2 = next(iter(bl)).labels.tolist()
     assert sorted(e1) == list(range(8))
     assert e1 != e2
+
+
+def test_calc_mean_std_histogram_exactness():
+    """The histogram path must equal the direct float computation to
+    float64 precision (it is algebraically the same moments)."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (7, 9, 9, 3), dtype=np.uint8)
+    mean, std = calc_mean_std(x)
+    xf = x.reshape(-1, 3).astype(np.float64) / 255.0
+    np.testing.assert_allclose(mean, xf.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(std, xf.std(0, ddof=1), rtol=1e-12)
+
+
+def test_materialize_cache_roundtrip(tmp_path, fixture_dir, monkeypatch):
+    from primia_tpu.data.datasets import ImageFolderDataset
+
+    monkeypatch.setenv("PRIMIA_CACHE_DIR", str(tmp_path / "cache"))
+    ds = ImageFolderDataset(fixture_dir / "train", channels=1)
+    imgs1, labels1 = ds.materialize(24)
+    cache_files = list((tmp_path / "cache" / "materialized").glob("*.npy"))
+    assert len(cache_files) == 1
+    imgs2, labels2 = ds.materialize(24)  # served from cache
+    np.testing.assert_array_equal(imgs1, imgs2)
+    np.testing.assert_array_equal(labels1, labels2)
+    # different resolution -> different cache entry
+    ds.materialize(16)
+    assert len(list((tmp_path / "cache" / "materialized").glob("*.npy"))) == 2
+
+
+def test_materialize_cache_invalidated_by_mtime(tmp_path, fixture_dir, monkeypatch):
+    import shutil
+
+    from primia_tpu.data.datasets import ImageFolderDataset
+
+    monkeypatch.setenv("PRIMIA_CACHE_DIR", str(tmp_path / "cache"))
+    root = tmp_path / "data"
+    shutil.copytree(fixture_dir / "train", root)
+    ds = ImageFolderDataset(root, channels=1)
+    imgs1, _ = ds.materialize(24)
+    # touch one file: key changes, cache misses, content re-decoded
+    f = ds.paths[0]
+    import os as _os
+    st = _os.stat(f)
+    _os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    imgs2, _ = ds.materialize(24)
+    np.testing.assert_array_equal(imgs1, imgs2)
+    assert len(list((tmp_path / "cache" / "materialized").glob("*.npy"))) == 2
+
+
+def test_draft_decode_fidelity(tmp_path):
+    """draft-mode decode + resize must match the full decode + resize
+    closely (same DCT content, slightly different low-pass order)."""
+    from PIL import Image
+
+    from primia_tpu.data.datasets import pil_loader
+
+    rng = np.random.default_rng(4)
+    # smooth synthetic image so JPEG is near-lossless
+    base = rng.normal(128, 10, (16, 16)).astype(np.uint8)
+    big = np.asarray(Image.fromarray(base, "L").resize((1024, 1024), Image.BILINEAR))
+    p = tmp_path / "big.jpeg"
+    Image.fromarray(big, "L").save(p, quality=95)
+    full = pil_loader(p, channels=1)          # no hint: full decode
+    drafted = pil_loader(p, channels=1, target=224)
+    assert drafted.shape[0] <= 512 and full.shape[0] == 1024
+    a = np.asarray(Image.fromarray(full[:, :, 0]).resize((224, 224)), np.float64)
+    b = np.asarray(Image.fromarray(drafted[:, :, 0]).resize((224, 224)), np.float64)
+    assert np.abs(a - b).mean() < 2.0
