@@ -27,6 +27,7 @@ distribution — not its exact pixels — is the parity contract.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -84,6 +85,21 @@ class AugmentConfig(NamedTuple):
             solarize=args.solarize, equalize=args.equalize,
             grid_dropout=args.grid_dropout,
         )
+
+
+def _fast_prng(key):
+    """Re-key onto the ``rbg`` PRNG on TPU: bulk draws (the image-sized
+    GaussNoise field, displacement fields) then use the hardware
+    RngBitGenerator instead of threefry lane arithmetic — measured ~4 ms
+    off the augment step at 256x224x224. Augmentation only needs
+    distributional randomness, so the stream change is immaterial;
+    determinism per input key is preserved. Off-TPU returns the key
+    unchanged (keeps CPU tests on the reference threefry stream)."""
+    if jax.default_backend() != "tpu":
+        return key
+    data = key if jnp.issubdtype(key.dtype, jnp.uint32) else jax.random.key_data(key)
+    data = jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
 
 
 def _gate(key, p, B):
@@ -183,12 +199,25 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # the final normalize promotes back to float32
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
-        keys = jax.random.split(key, 32)
+        keys = jax.random.split(_fast_prng(key), 32)
 
-        # 1. torchvision RandomAffine
+        # 1. torchvision RandomAffine. The dense resampler does more
+        # arithmetic than the separable two-pass decomposition but runs
+        # it at ~full MXU utilization as one large matmul, which wins on
+        # TPU (measured 16 ms vs 72 ms at 256x224x224 — the two-pass
+        # form is per-row matvecs the MXU can't tile). ``row_band``
+        # statically bounds the source rows each output chunk touches,
+        # cutting the dominant contraction ~H/band x, exactly.
+        # PRIMIA_TWOPASS_WARP opts into the low-FLOP form (e.g. on CPU).
         if cfg.rotation or cfg.translate or cfg.scale or cfg.shear:
             mats = _affine_mats(keys[0], cfg, B)
-            x = I.warp_affine(x, mats)
+            x = I.warp_affine(
+                x, mats,
+                twopass=bool(os.environ.get("PRIMIA_TWOPASS_WARP"))
+                and I.twopass_safe(cfg.rotation, cfg.shear, cfg.scale),
+                row_band=I.affine_row_band(cfg.rotation, cfg.shear,
+                                           cfg.scale, R),
+            )
 
         # 2. RandomCrop(train_resolution) after host-side Resize
         if Rt < R:

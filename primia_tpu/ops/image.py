@@ -12,10 +12,12 @@ warps use inverse mapping with bilinear sampling and zero fill.
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ----------------------------------------------------------------- sampling
@@ -51,7 +53,8 @@ def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.n
 
 
 def resample_bilinear_mxu(imgs: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
-                          max_chunk_px: int = 4096) -> jnp.ndarray:
+                          max_chunk_px: int = 4096,
+                          row_band: int | None = None) -> jnp.ndarray:
     """Batched bilinear resampling as dense tent-weight contractions.
 
     TPU gathers are serialized scalar loads — the XLA lowering of
@@ -68,11 +71,25 @@ def resample_bilinear_mxu(imgs: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     are processed in chunks of at most ``max_chunk_px`` pixels (keeps the
     (B, chunk, W) weight matrices ~100 MB at batch 64); chunks run under
     ``lax.map`` (one compiled body).
+
+    ``row_band``: optional static GUARANTEE from the caller that within
+    any chunk of ``max_chunk_px // Wo`` consecutive output rows, each
+    image's source-row range (±1 for the tent support) spans at most
+    this many rows. The first contraction then runs over a
+    dynamic-sliced band of ``row_band`` input rows instead of all H —
+    exact, with H/row_band fewer MACs. A band that does NOT satisfy the
+    guarantee silently drops samples, so callers must derive it from
+    static bounds (see ``affine_row_band``).
     """
     B, H, W, C = imgs.shape
     Ho, Wo = ys.shape[1:]
+    # chunk_rows is capped at 16 when banding so the caller's
+    # affine_row_band(chunk_rows=16) guarantee holds for any resolution
+    max_rows = min(Ho, max(1, max_chunk_px // Wo))
+    if row_band is not None:
+        max_rows = min(max_rows, 16)
     rows = 1
-    for cand in range(min(Ho, max(1, max_chunk_px // Wo)), 0, -1):
+    for cand in range(max_rows, 0, -1):
         if Ho % cand == 0:
             rows = cand
             break
@@ -85,17 +102,165 @@ def resample_bilinear_mxu(imgs: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     ys_c = ys.astype(jnp.float32).reshape(B, n, P).transpose(1, 0, 2)
     xs_c = xs.astype(jnp.float32).reshape(B, n, P).transpose(1, 0, 2)
 
+    use_band = row_band is not None and row_band < H
+    Hb = 0
+    if use_band:
+        Hb = min(H, max(8, int(np.ceil(row_band / 8.0)) * 8))
+        use_band = Hb < H
+
     def chunk(c):
         yc, xc = c
         wx = jnp.clip(1.0 - jnp.abs(xc[..., None] - iw), 0.0, 1.0).astype(dt)
-        wy = jnp.clip(1.0 - jnp.abs(yc[..., None] - ih), 0.0, 1.0).astype(dt)
-        inner = jnp.einsum("bhwc,bpw->bhpc", imgs_t, wx,
-                           preferred_element_type=jnp.float32)
+        if use_band:
+            # per-image band of source rows covering the chunk's samples
+            base = jnp.clip(
+                jnp.floor(jnp.min(yc, axis=1)).astype(jnp.int32) - 1, 0, H - Hb
+            )  # (B,)
+            zero = jnp.zeros((), jnp.int32)
+            band = jax.vmap(
+                lambda im, b0: jax.lax.dynamic_slice(
+                    im, (b0, zero, zero), (Hb, W, C))
+            )(imgs_t, base)
+            ihb = base[:, None, None].astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.float32, (1, 1, Hb), 2
+            )
+            wy = jnp.clip(1.0 - jnp.abs(yc[..., None] - ihb), 0.0, 1.0).astype(dt)
+            inner = jnp.einsum("bhwc,bpw->bhpc", band, wx,
+                               preferred_element_type=jnp.float32)
+        else:
+            wy = jnp.clip(1.0 - jnp.abs(yc[..., None] - ih), 0.0, 1.0).astype(dt)
+            inner = jnp.einsum("bhwc,bpw->bhpc", imgs_t, wx,
+                               preferred_element_type=jnp.float32)
         return jnp.einsum("bhpc,bph->bpc", inner.astype(dt), wy,
                           preferred_element_type=jnp.float32)
 
     outs = jax.lax.map(chunk, (ys_c, xs_c))  # (n, B, P, C)
     return outs.transpose(1, 0, 2, 3).reshape(B, Ho, Wo, C).astype(imgs.dtype)
+
+
+def affine_row_band(rotation_deg: float, shear_deg: float, scale_frac: float,
+                    width: int, chunk_rows: int = 16) -> int:
+    """Static source-row-band bound for ``resample_bilinear_mxu`` under
+    the augment config's inverse-affine matrix ranges.
+
+    Within a chunk of ``chunk_rows`` output rows, sy = ic*xc + id*yc + ty
+    varies by at most |ic|*(W-1) + |id|*(chunk_rows-1); the inverse
+    coefficients are bounded by |ic| <= sin(rot+|shear|)/s_min and
+    |id| <= 1/s_min over the draw ranges (det A = s^2). +3 covers the
+    bilinear tent support and the floor() in the base row.
+    """
+    s_min = max(1.0 - abs(scale_frac), 0.1)
+    ang = min(abs(rotation_deg) + abs(shear_deg), 89.0) * math.pi / 180.0
+    spread = math.sin(ang) / s_min * (width - 1) + (chunk_rows - 1) / s_min
+    return int(math.ceil(spread)) + 3
+
+
+def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
+                        weight_budget_mb: int = 128) -> jnp.ndarray:
+    """Affine warp as two axis-aligned shear/scale passes (Catmull-Smith).
+
+    The dense 2D resampler (``resample_bilinear_mxu``) contracts every
+    output pixel against the FULL input height and width —
+    B*(Ho*Wo)*(H+W) MACs, ~1.3 TFLOP for a 256x224x224 batch, as much as
+    the entire ResNet-18 fwd+bwd. An affine map factors into a
+    horizontal pass (per input row) then a vertical pass (per output
+    column), dropping the arithmetic 224x:
+
+        pass 1:  tmp[u, x] = img[u, q(x, u)]   q = d*xc + e*(u-cy) + z + cx
+        pass 2:  out[y, x] = tmp[p(y, x), x]   p = C*xc + D*yc + Ty + cy
+
+    with e = B/D, d = (AD - BC)/D, z = Tx - e*Ty (A..D, Tx, Ty the
+    inverse-map coefficients). Pass 2's bilinear uses the two integer
+    rows around p, so pass 1 is evaluated at u=floor(p), ceil(p) rather
+    than exactly p: the horizontal sample position differs from the true
+    2D bilinear by at most |B| <= sin(rot)*scale pixels (exact when
+    rotation = shear = 0). Degenerate when |D| ~ 0 (rotation near 90°);
+    the caller must check ``twopass_safe`` before using this path.
+
+    Each pass materializes tent-weight blocks of at most
+    ``weight_budget_mb`` under ``lax.map``.
+    """
+    Bn, H, W, C = imgs.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    A_, Bc = mats[:, 0, 0], mats[:, 0, 1]
+    Cc, D_ = mats[:, 1, 0], mats[:, 1, 1]
+    Tx, Ty = mats[:, 0, 2], mats[:, 1, 2]
+    Dsafe = jnp.where(jnp.abs(D_) < 1e-2, jnp.where(D_ < 0, -1e-2, 1e-2), D_)
+    e = Bc / Dsafe
+    d = A_ - e * Cc
+    z = Tx - e * Ty
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else imgs.dtype
+    imgs_t = imgs.astype(dt)
+    itemsize = 2 if dt == jnp.bfloat16 else 4
+    # rows per chunk so the (B, rows, W, W) weight block stays in budget
+    rows = max(1, (weight_budget_mb * (1 << 20)) // (Bn * W * W * itemsize))
+    for cand in range(min(H, rows), 0, -1):
+        if H % cand == 0:
+            rows = cand
+            break
+
+    xc = jax.lax.broadcasted_iota(jnp.float32, (W,), 0) - cx
+    iw = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, W), 3)
+
+    # ---- pass 1: horizontal, per input row u (rows chunked with their
+    # weight blocks under lax.map)
+    us = (jnp.arange(H, dtype=jnp.float32) - cy).reshape(H // rows, rows)
+    img_r = imgs_t.reshape(Bn, H // rows, rows, W, C)
+
+    def pass1(args_):
+        u_c, rows_img = args_  # (rows,), (B, rows, W, C)
+        q = (d[:, None, None] * xc[None, None, :]
+             + e[:, None, None] * u_c[None, :, None]
+             + z[:, None, None] + cx)  # (B, rows, Wo)
+        wq = jnp.clip(1.0 - jnp.abs(q[..., None] - iw), 0.0, 1.0).astype(dt)
+        # tmp[b, r, p, c] = sum_w img[b, r, w, c] * wq[b, r, p, w]
+        return jnp.einsum("brpw,brwc->brpc", wq, rows_img,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    def pass1(args_):
+        u_c, rows_img = args_  # (rows,), (B, rows, W, C)
+        q = (d[:, None, None] * xc[None, None, :]
+             + e[:, None, None] * u_c[None, :, None]
+             + z[:, None, None] + cx)  # (B, rows, Wo)
+        wq = jnp.clip(1.0 - jnp.abs(q[..., None] - iw), 0.0, 1.0).astype(dt)
+        # tmp[b, r, p, c] = sum_w img[b, r, w, c] * wq[b, r, p, w]
+        return jnp.einsum("brpw,brwc->brpc", wq, rows_img,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    tmp = jax.lax.map(pass1, (us, img_r.transpose(1, 0, 2, 3, 4)))
+    tmp = tmp.transpose(1, 0, 2, 3, 4).reshape(Bn, H, W, C)  # (B, H, Wo, C)
+
+    # ---- pass 2: vertical, per output row y
+    ih = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, H), 3)
+    ys = (jnp.arange(H, dtype=jnp.float32) - cy).reshape(H // rows, rows)
+
+    def pass2(y_c):  # (rows,) centered output-row indices
+        p = (Cc[:, None, None] * xc[None, None, :]
+             + D_[:, None, None] * y_c[None, :, None]
+             + Ty[:, None, None] + cy)  # (B, rows, Wo)
+        wp = jnp.clip(1.0 - jnp.abs(p[..., None] - ih), 0.0, 1.0).astype(dt)
+        # out[b, r, x, c] = sum_h tmp[b, h, x, c] * wp[b, r, x, h]
+        return jnp.einsum("brxh,bhxc->brxc", wp, tmp,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(pass2, ys)  # (H//rows, B, rows, Wo, C)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(Bn, H, W, C)
+    return out.astype(imgs.dtype)
+
+
+def twopass_safe(rotation_deg: float, shear_deg: float, scale_frac: float,
+                 min_d: float = 0.35) -> bool:
+    """Static (trace-time) check that the two-pass decomposition is
+    well-conditioned for ALL matrices the augment config can draw.
+
+    The pass-2 vertical coefficient is D = cos(theta)/s (inverse of
+    A = R(theta) Shear s*Id has det s^2), so over the config ranges
+    |D| >= cos(rot + |shear|) / (1 + scale). Requiring it above
+    ``min_d`` bounds the shear-pass magnification 1/|D|.
+    """
+    ang = min(abs(rotation_deg) + abs(shear_deg), 89.0) * math.pi / 180.0
+    return math.cos(ang) / (1.0 + abs(scale_frac)) >= min_d
 
 
 def _use_mxu_resample() -> bool:
@@ -110,10 +275,22 @@ def _use_pallas_resample() -> bool:
     return _use_mxu_resample() and bool(os.environ.get("PRIMIA_PALLAS_AUGMENT"))
 
 
-def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
+                twopass: bool = False,
+                row_band: int | None = None) -> jnp.ndarray:
     """Batched inverse-affine warp. imgs (B,H,W,C); mats (B,2,3) maps
     OUTPUT pixel coords (x, y, 1) -> input coords, centered at the image
-    center (torchvision RandomAffine convention)."""
+    center (torchvision RandomAffine convention).
+
+    ``twopass``: use the 224x-lower-FLOP shear decomposition — only
+    pass True when ``twopass_safe`` holds for the matrix distribution
+    (the caller knows the static config ranges; this function sees
+    traced values). NOTE: measured SLOWER on TPU than the dense path
+    (per-row matvecs vs one MXU-saturating matmul); it wins on
+    low-FLOP backends.
+    """
+    if twopass:
+        return warp_affine_twopass(imgs, mats)
     B, H, W, C = imgs.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - cy
@@ -128,7 +305,7 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
 
         return resample_bilinear_pallas(imgs, sy, sx)
     if _use_mxu_resample():
-        return resample_bilinear_mxu(imgs, sy, sx)
+        return resample_bilinear_mxu(imgs, sy, sx, row_band=row_band)
     return jax.vmap(bilinear_sample)(imgs, sy, sx)
 
 

@@ -1,0 +1,134 @@
+"""Augmentation op tests: the two-pass affine warp against the exact
+gather-based 2D bilinear reference (``bilinear_sample``)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from primia_tpu.ops import image as I
+
+
+def _mats(thetas_deg, scales, tx, ty):
+    """Inverse maps for forward A = R(theta) * s, translation (tx, ty)
+    in pixels (same convention as augment._affine_mats)."""
+    out = []
+    for th, s, x, y in zip(thetas_deg, scales, tx, ty):
+        t = math.radians(th)
+        a, b = math.cos(t) * s, -math.sin(t) * s
+        c, d = math.sin(t) * s, math.cos(t) * s
+        det = a * d - b * c
+        ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+        out.append([[ia, ib, -(ia * x + ib * y)],
+                    [ic, id_, -(ic * x + id_ * y)]])
+    return jnp.asarray(out, jnp.float32)
+
+
+def _reference_warp(imgs, mats):
+    B, H, W, C = imgs.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - cy
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) - cx
+    sy = mats[:, 1, 0, None, None] * xs + mats[:, 1, 1, None, None] * ys \
+        + mats[:, 1, 2, None, None] + cy
+    sx = mats[:, 0, 0, None, None] * xs + mats[:, 0, 1, None, None] * ys \
+        + mats[:, 0, 2, None, None] + cx
+    return jax.vmap(I.bilinear_sample)(imgs, sy, sx)
+
+
+@pytest.fixture
+def smooth_batch(rng):
+    # smooth images: random low-res upsampled, so sub-pixel sampling
+    # differences stay small
+    lo = rng.random((3, 6, 6, 1)).astype(np.float32)
+    return jax.image.resize(jnp.asarray(lo), (3, 48, 48, 1), "bilinear")
+
+
+def test_twopass_exact_for_scale_translate(smooth_batch):
+    """rotation = shear = 0 makes the decomposition algebraically
+    identical to 2D bilinear (the tent product separates)."""
+    mats = _mats([0, 0, 0], [0.9, 1.0, 1.15], [3.5, -2.0, 0.0], [-1.5, 0.0, 4.25])
+    ref = _reference_warp(smooth_batch, mats)
+    got = I.warp_affine_twopass(smooth_batch, mats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_twopass_close_for_rotation(smooth_batch):
+    """With rotation the horizontal sample position differs by at most
+    |sin(theta)*s| pixels between the two blended rows — tiny for the
+    config ranges that pass ``twopass_safe``."""
+    mats = _mats([10, -7, 4], [1.0, 0.95, 1.1], [1.0, 0.0, -2.0], [0.0, 2.0, 1.0])
+    ref = np.asarray(_reference_warp(smooth_batch, mats))
+    got = np.asarray(I.warp_affine_twopass(smooth_batch, mats))
+    assert np.abs(got - ref).mean() < 0.01
+    assert np.abs(got - ref).max() < 0.2
+
+
+def test_twopass_zero_fill(smooth_batch):
+    """Samples mapped outside the image must come back 0 (reference
+    affine fill), including via large translations."""
+    mats = _mats([0.0, 5.0, 0.0], [1.0, 1.0, 1.0],
+                 [100.0, 100.0, -100.0], [0.0, 100.0, -100.0])
+    got = np.asarray(I.warp_affine_twopass(smooth_batch, mats))
+    ref = np.asarray(_reference_warp(smooth_batch, mats))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert np.abs(got).max() < 1e-6  # fully shifted out
+
+
+def test_twopass_odd_chunking(smooth_batch):
+    """H not divisible by the budgeted chunk: falls back to a divisor."""
+    x = smooth_batch[:, :42, :42, :]  # 42 = 2*3*7
+    mats = _mats([3.0], [1.05], [1.0], [-1.0])[0:1]
+    got = np.asarray(I.warp_affine_twopass(x[:1], mats, weight_budget_mb=1))
+    ref = np.asarray(_reference_warp(x[:1], mats))
+    assert np.abs(got - ref).mean() < 0.01
+
+
+def test_banded_resample_exact(smooth_batch):
+    """The row-banded dense resampler must equal the unbanded one (and
+    the gather reference) when the band bound holds."""
+    mats = _mats([10, -7, 0], [1.0, 0.95, 1.1], [2.0, -3.0, 0.0], [1.0, 0.0, -4.0])
+    B, H, W, C = smooth_batch.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] - cy
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] - cx
+    sy = mats[:, 1, 0, None, None] * xs + mats[:, 1, 1, None, None] * ys \
+        + mats[:, 1, 2, None, None] + cy
+    sx = mats[:, 0, 0, None, None] * xs + mats[:, 0, 1, None, None] * ys \
+        + mats[:, 0, 2, None, None] + cx
+    sy = jnp.broadcast_to(sy, (B, H, W))
+    sx = jnp.broadcast_to(sx, (B, H, W))
+    band = I.affine_row_band(10.0, 0.0, 0.15, W)
+    ref = np.asarray(jax.vmap(I.bilinear_sample)(smooth_batch, sy, sx))
+    dense = np.asarray(I.resample_bilinear_mxu(smooth_batch, sy, sx))
+    banded = np.asarray(I.resample_bilinear_mxu(smooth_batch, sy, sx,
+                                                row_band=band))
+    np.testing.assert_allclose(dense, ref, atol=0.02)  # bf16 weights
+    np.testing.assert_array_equal(banded, dense)
+
+
+def test_affine_row_band_bounds():
+    # no rotation: band is just the chunk extent + tent support
+    assert I.affine_row_band(0.0, 0.0, 0.0, 224) == 18
+    # canonical config stays far below full height
+    assert I.affine_row_band(10.0, 0.0, 0.15, 224) < 80
+    # extreme rotation: band exceeds H -> resampler falls back to dense
+    assert I.affine_row_band(80.0, 0.0, 0.5, 224) > 224
+
+
+def test_twopass_safe_bounds():
+    assert I.twopass_safe(10.0, 5.0, 0.15)        # canonical config
+    assert I.twopass_safe(45.0, 0.0, 0.1)
+    assert not I.twopass_safe(85.0, 0.0, 0.0)     # near-degenerate
+    assert not I.twopass_safe(60.0, 20.0, 0.9)
+
+
+def test_warp_affine_dispatch(smooth_batch):
+    """warp_affine(twopass=True) must agree with the dense path."""
+    mats = _mats([8.0, 0.0, -8.0], [1.0, 1.1, 0.9], [2.0, 0.0, -2.0],
+                 [0.0, 1.0, -1.0])
+    dense = np.asarray(I.warp_affine(smooth_batch, mats, twopass=False))
+    fast = np.asarray(I.warp_affine(smooth_batch, mats, twopass=True))
+    assert np.abs(fast - dense).mean() < 0.01
