@@ -125,6 +125,46 @@ def test_twopass_safe_bounds():
     assert not I.twopass_safe(60.0, 20.0, 0.9)
 
 
+def test_full_pipeline_every_toggle(rng):
+    """All 19 albumentations toggles + affine + crop + noise at once:
+    must trace, run, and produce a normalized train-res batch."""
+    from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+
+    cfg = AugmentConfig(
+        rotation=10.0, translate=0.1, scale=0.1, shear=3.0,
+        train_resolution=32, inference_resolution=40, clahe=True,
+        overall_prob=0.9, individual_prob=0.5, noise_std=0.05,
+        noise_prob=0.5, randomgamma=True, randombrightness=True, blur=True,
+        elastic=True, optical_distortion=True, grid_distortion=True,
+        grid_shuffle=True, hsv=True, invert=True, cutout=True, shadow=True,
+        fog=True, sun_flare=True, solarize=True, equalize=True,
+        grid_dropout=True,
+    )
+    mean, std = np.array([0.5, 0.5, 0.5]), np.array([0.25, 0.25, 0.25])
+    fn = jax.jit(build_augment_fn(cfg, mean, std, 3))
+    x = rng.integers(0, 255, (4, 40, 40, 3), dtype=np.uint8)
+    out = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(x)))
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out).all()
+    # normalized output: values land in [(0-mean)/std, (1-mean)/std]
+    assert out.min() >= -2.0 - 1e-3 and out.max() <= 2.0 + 1e-3
+
+
+def test_pipeline_deterministic_per_key(rng):
+    from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+
+    cfg = AugmentConfig(rotation=5.0, noise_std=0.05, noise_prob=1.0,
+                        randomgamma=True, train_resolution=24,
+                        inference_resolution=24)
+    fn = jax.jit(build_augment_fn(cfg, np.array([0.5]), np.array([0.25]), 1))
+    x = jnp.asarray(rng.integers(0, 255, (2, 24, 24, 1), dtype=np.uint8))
+    a = np.asarray(fn(jax.random.PRNGKey(7), x))
+    b = np.asarray(fn(jax.random.PRNGKey(7), x))
+    c = np.asarray(fn(jax.random.PRNGKey(8), x))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-4
+
+
 def test_warp_affine_dispatch(smooth_batch):
     """warp_affine(twopass=True) must agree with the dense path."""
     mats = _mats([8.0, 0.0, -8.0], [1.0, 1.1, 0.9], [2.0, 0.0, -2.0],
