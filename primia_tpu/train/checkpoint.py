@@ -116,35 +116,49 @@ def save_model(
     ``{worker_id: opt_state}`` dict as ``opt_state`` — same semantics as
     the reference (``utils.py:1470-1482``).
 
-    ``executor``: optional ``concurrent.futures`` executor — the device
-    fetch always happens synchronously (training may donate these
-    buffers on the next step), but the ~130 MB disk write then proceeds
+    ``executor``: optional ``concurrent.futures`` executor — with one,
+    the caller only pays for a device-side snapshot copy (~ms; the
+    copies decouple the checkpoint from buffers the next train step may
+    donate), and the ~2.6 s device fetch + ~130 MB disk write both run
     in the background, hidden behind the next epoch's compute.
     """
     import jax
+    import jax.numpy as jnp
 
-    # ONE device_get over the whole checkpoint: the async host copies
-    # for every leaf are issued before the first blocking wait, so the
-    # device->host round-trip cost is paid once, not per tensor (the
-    # axon tunnel charges ~0.4 s per blocking fetch)
-    fetched = jax.device_get({"p": params, "s": model_state, "o": opt_state})
-    tree = {
+    dev = {"p": params, "s": model_state, "o": opt_state}
+    if executor is not None:
+        dev = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, dev
+        )
+    meta = {
         "epoch": int(epoch),
-        "model_state_dict": {
-            "params": fetched["p"],
-            "state": fetched["s"],
-        },
-        "optim_state_dict": fetched["o"],
         "args": args.to_json(),
         "val_mean_std": (
             np.asarray(val_mean_std[0]),
             np.asarray(val_mean_std[1]),
         ),
     }
-    if executor is not None:
-        executor.submit(save_tree, path, tree)
-    else:
+
+    def fetch_and_write():
+        # ONE device_get over the whole checkpoint: the async host
+        # copies for every leaf are issued before the first blocking
+        # wait, so the device->host round-trip cost is paid once, not
+        # per tensor (the axon tunnel charges ~0.4 s per blocking fetch)
+        fetched = jax.device_get(dev)
+        tree = {
+            **meta,
+            "model_state_dict": {
+                "params": fetched["p"],
+                "state": fetched["s"],
+            },
+            "optim_state_dict": fetched["o"],
+        }
         save_tree(path, tree)
+
+    if executor is not None:
+        executor.submit(fetch_and_write)
+    else:
+        fetch_and_write()
 
 
 def load_model(path) -> Dict[str, Any]:
