@@ -170,14 +170,29 @@ def _hsv_to_rgb(x):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _upsample_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) bilinear interpolation weights, align_corners=False
+    (matches ``jax.image.resize(method="bilinear")``)."""
+    scale = n_in / n_out
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * scale - 0.5
+    idx = jnp.arange(n_in, dtype=jnp.float32)
+    w = jnp.clip(1.0 - jnp.abs(pos[:, None] - idx[None, :]), 0.0, 1.0)
+    # edge handling: resize clamps sample positions, so renormalize rows
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
 def _coarse_field(key, B, H, W, coarse: int, amp) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Smooth random displacement fields (dy, dx), each (B,H,W)*amp px.
 
-    Bilinear upsampling: visually equivalent smoothing for a random
-    field at ~2x the speed of bicubic on TPU (the field is warped with
-    sub-pixel interpolation anyway)."""
+    Bilinear upsampling as two explicit weight-matrix contractions —
+    ``jax.image.resize``'s general lowering costs ~30 ms for a
+    (200,2,28,28)->(...,224,224) field on TPU; the separable matmul form
+    rides the MXU (<1 ms). Distributionally identical (same tent
+    interpolation of the same uniform draws)."""
     f = jax.random.uniform(key, (B, 2, coarse, coarse), minval=-1.0, maxval=1.0)
-    up = jax.image.resize(f, (B, 2, H, W), method="bilinear")
+    wh = _upsample_matrix(H, coarse)
+    ww = _upsample_matrix(W, coarse)
+    up = jnp.einsum("hi,bcij,wj->bchw", wh, f, ww)
     return up[:, 0] * amp[:, None, None], up[:, 1] * amp[:, None, None]
 
 
@@ -261,12 +276,17 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
 
         # fused geometric distortions: sum displacement fields, warp once
         warp_terms = []
+        max_disp = 0.0  # static |dy| bound for the banded resampler
         if cfg.elastic:
             warp_terms.append((7, partial(_coarse_field, coarse=Rt // 8), 2.0))
+            max_disp += 2.0
         if cfg.optical_distortion:
             warp_terms.append((8, None, None))  # radial, handled below
+            # |dy| = |k| r^2 |ys| / (cy cx) <= 0.05 * 2 * (Rt-1)/2
+            max_disp += 0.05 * (Rt - 1)
         if cfg.grid_distortion:
             warp_terms.append((9, partial(_coarse_field, coarse=6), 0.06 * Rt))
+            max_disp += 0.06 * Rt
         if warp_terms:
             dy = jnp.zeros((B, Rt, Rt), jnp.float32)
             dx = jnp.zeros((B, Rt, Rt), jnp.float32)
@@ -287,7 +307,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                     r2 = (ys ** 2 + xs ** 2) / (cy * cx)
                     dy = dy + kk * r2 * ys
                     dx = dx + kk * r2 * xs
-            x = I.warp_dense(x, dy, dx)
+            x = I.warp_dense(x, dy, dx, max_dy=max_disp)
 
         if cfg.grid_shuffle:
             def shuffle_fn(k):
@@ -354,7 +374,11 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
 
         if cfg.fog:
             def fog_fn(k):
-                f = jax.random.uniform(k, (B, 1, 1, 1), minval=0.1, maxval=0.45)
+                # cast the fog factor to the pixel dtype BEFORE mixing:
+                # an f32 factor promotes the whole image off the bf16
+                # path (measured 99 ms vs 9 ms for this op at 200x224)
+                f = jax.random.uniform(
+                    k, (B, 1, 1, 1), minval=0.1, maxval=0.45).astype(dt)
                 return I.box_blur(x * (1 - f) + f, 3)
             gated(15, p, fog_fn)
 

@@ -309,17 +309,24 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
     return jax.vmap(bilinear_sample)(imgs, sy, sx)
 
 
-def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+               max_dy: float | None = None) -> jnp.ndarray:
     """Batched dense warp: sample input at (y + dy, x + dx).
 
-    dy/dx: (B, H, W) float displacement fields in pixels.
+    dy/dx: (B, H, W) float displacement fields in pixels. ``max_dy``:
+    optional STATIC bound on |dy| (the augment config knows its
+    amplitude caps); enables the row-banded contraction — source rows
+    for a chunk of 16 output rows then span at most 15 + 2*max_dy + 3.
     """
     B, H, W, C = imgs.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     sy, sx = ys[None] + dy, xs[None] + dx
     if _use_mxu_resample():
-        return resample_bilinear_mxu(imgs, sy, sx)
+        band = None
+        if max_dy is not None:
+            band = 15 + int(math.ceil(2.0 * max_dy)) + 3
+        return resample_bilinear_mxu(imgs, sy, sx, row_band=band)
     return jax.vmap(bilinear_sample)(imgs, sy, sx)
 
 
@@ -535,18 +542,22 @@ def clahe(
 # ------------------------------------------------------------------ blur
 
 def box_blur(imgs: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """Depthwise box blur with reflect-ish edge handling (same-size)."""
+    """Depthwise box blur, zero-padded same-size output.
+
+    Shift-and-add formulation: a 1-channel depthwise conv is a terrible
+    MXU shape (K = ksize^2), while 2*ksize shifted adds fuse into one
+    VPU pass over the batch.
+    """
     B, H, W, C = imgs.shape
-    k = jnp.ones((ksize, ksize, 1, 1), imgs.dtype) / (ksize * ksize)
     pad = ksize // 2
-    x = jnp.moveaxis(imgs, -1, 1).reshape(B * C, 1, H, W)
-    y = jax.lax.conv_general_dilated(
-        x, jnp.transpose(k, (3, 2, 0, 1)),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return jnp.moveaxis(y.reshape(B, C, H, W), 1, -1)
+    z = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    rows = z[:, 0:H]
+    for i in range(1, ksize):
+        rows = rows + z[:, i : i + H]
+    out = rows[:, :, 0:W]
+    for j in range(1, ksize):
+        out = out + rows[:, :, j : j + W]
+    return out / jnp.asarray(ksize * ksize, imgs.dtype)
 
 
 def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:

@@ -109,6 +109,22 @@ def test_banded_resample_exact(smooth_batch):
     np.testing.assert_array_equal(banded, dense)
 
 
+def test_warp_dense_banded_exact(smooth_batch, rng):
+    """warp_dense with a static displacement bound must equal the
+    unbanded form and the gather reference."""
+    B, H, W, C = smooth_batch.shape
+    dy = jnp.asarray(rng.uniform(-5, 5, (B, H, W)), jnp.float32)
+    dx = jnp.asarray(rng.uniform(-5, 5, (B, H, W)), jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None] + dy
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None] + dx
+    ref = np.asarray(jax.vmap(I.bilinear_sample)(smooth_batch, ys, xs))
+    plain = np.asarray(I.resample_bilinear_mxu(smooth_batch, ys, xs))
+    banded = np.asarray(I.resample_bilinear_mxu(smooth_batch, ys, xs,
+                                                row_band=15 + 10 + 3))
+    np.testing.assert_allclose(plain, ref, atol=0.02)
+    np.testing.assert_array_equal(banded, plain)
+
+
 def test_affine_row_band_bounds():
     # no rotation: band is just the chunk extent + tent support
     assert I.affine_row_band(0.0, 0.0, 0.0, 224) == 18
@@ -123,6 +139,17 @@ def test_twopass_safe_bounds():
     assert I.twopass_safe(45.0, 0.0, 0.1)
     assert not I.twopass_safe(85.0, 0.0, 0.0)     # near-degenerate
     assert not I.twopass_safe(60.0, 20.0, 0.9)
+
+
+def test_clahe_mxu_matches_gather(rng):
+    """The int8 one-hot matmul CLAHE must equal the gather formulation
+    (LUT entries and one-hot weights are exact in the integer dots)."""
+    from primia_tpu.ops import image as I
+
+    x = jnp.asarray(rng.random((2, 48, 40, 3)), jnp.float32)
+    a = np.asarray(I.clahe_mxu(x, 1.0, 8))
+    b = np.asarray(I.clahe(x, 1.0, 8))  # gather path off-TPU
+    np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_full_pipeline_every_toggle(rng):
