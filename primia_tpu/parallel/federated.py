@@ -392,6 +392,10 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
+    # background checkpoint writer (one worker: writes stay ordered)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ckpt_writer = ThreadPoolExecutor(max_workers=1)
     rng_key = jax.random.fold_in(key, 99)
     for epoch in range(start_at_epoch, args.epochs + 1):
         lr = scheduler.get_lr(epoch - 1)
@@ -475,9 +479,14 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
                 opt_state={w: _index_tree(stacked.opt_state, i)
                            for i, w in enumerate(worker_names)},
                 args=args, val_mean_std=(np.asarray(mean), np.asarray(std)),
+                executor=ckpt_writer,
             )
             matthews_scores.append(matthews)
             model_paths.append(model_path)
+
+    # all checkpoint writes must hit disk before best-model selection
+    # copies/deletes them
+    ckpt_writer.shutdown(wait=True)
 
     if not matthews_scores:
         # zero effective epochs (epochs < repetitions_dataset divides to
