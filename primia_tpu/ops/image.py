@@ -218,16 +218,6 @@ def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
         return jnp.einsum("brpw,brwc->brpc", wq, rows_img,
                           preferred_element_type=jnp.float32).astype(dt)
 
-    def pass1(args_):
-        u_c, rows_img = args_  # (rows,), (B, rows, W, C)
-        q = (d[:, None, None] * xc[None, None, :]
-             + e[:, None, None] * u_c[None, :, None]
-             + z[:, None, None] + cx)  # (B, rows, Wo)
-        wq = jnp.clip(1.0 - jnp.abs(q[..., None] - iw), 0.0, 1.0).astype(dt)
-        # tmp[b, r, p, c] = sum_w img[b, r, w, c] * wq[b, r, p, w]
-        return jnp.einsum("brpw,brwc->brpc", wq, rows_img,
-                          preferred_element_type=jnp.float32).astype(dt)
-
     tmp = jax.lax.map(pass1, (us, img_r.transpose(1, 0, 2, 3, 4)))
     tmp = tmp.transpose(1, 0, 2, 3, 4).reshape(Bn, H, W, C)  # (B, H, Wo, C)
 
