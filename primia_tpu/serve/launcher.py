@@ -39,7 +39,11 @@ def launch_nodes(csv_path, data_root=None, ini_config=None, wait: bool = True):
             p.terminate()
         sys.exit(0)
 
+    # SIGTERM too: a plain `kill` of the launcher must not orphan the
+    # node fleet (reference teardown is SIGINT-only,
+    # run_websocket_server.py:96-103)
     signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
     while True:
         time.sleep(1)
 
