@@ -214,7 +214,12 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # the final normalize promotes back to float32
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
-        keys = jax.random.split(_fast_prng(key), 32)
+        # 64 keys, non-overlapping regions: 0-2 affine/crop/block-gate,
+        # 3-19 per-op gates, 20-21 noise gate/field, 24-43 per-op
+        # parameter draws (gate idx + 24), 44-49 displacement
+        # fields/amplitudes. (A previous 32-key layout double-booked
+        # keys between field draws and gates, correlating augmentations.)
+        keys = jax.random.split(_fast_prng(key), 64)
 
         # 1. torchvision RandomAffine. The dense resampler does more
         # arithmetic than the separable two-pass decomposition but runs
@@ -254,7 +259,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         def gated(idx, mask_p, fn):
             nonlocal x
             m = _gate(keys[idx], mask_p, B) & block_on
-            x = _blend(m, fn(keys[idx + 16] if idx + 16 < 32 else keys[idx]), x)
+            x = _blend(m, fn(keys[idx + 24]), x)
 
         # vertical flip
         gated(3, p, lambda k: x[:, ::-1])
@@ -291,15 +296,18 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             dy = jnp.zeros((B, Rt, Rt), jnp.float32)
             dx = jnp.zeros((B, Rt, Rt), jnp.float32)
             for idx, fieldfn, amp_max in warp_terms:
+                # idx in {7, 8, 9}: fields at keys[44+idx-7], amplitudes
+                # at keys[47+idx-7] — disjoint from every gate/param key
                 m = (_gate(keys[idx], p, B) & block_on).astype(jnp.float32)
                 if fieldfn is not None:
-                    amp = jax.random.uniform(keys[idx + 16], (B,), maxval=amp_max) * m
-                    fy, fx = fieldfn(keys[idx + 8], B, Rt, Rt, amp=amp)
+                    amp = jax.random.uniform(keys[47 + idx - 7], (B,),
+                                             maxval=amp_max) * m
+                    fy, fx = fieldfn(keys[44 + idx - 7], B, Rt, Rt, amp=amp)
                     dy, dx = dy + fy, dx + fx
                 else:
                     # barrel/pincushion: r' = r (1 + k r^2), k ~ U(-.05,.05)
                     kk = jax.random.uniform(
-                        keys[idx + 16], (B, 1, 1), minval=-0.05, maxval=0.05
+                        keys[47 + idx - 7], (B, 1, 1), minval=-0.05, maxval=0.05
                     ) * m[:, None, None]
                     cy = cx = (Rt - 1) / 2.0
                     ys = jax.lax.broadcasted_iota(jnp.float32, (Rt, Rt), 0) - cy

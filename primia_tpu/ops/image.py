@@ -149,7 +149,11 @@ def affine_row_band(rotation_deg: float, shear_deg: float, scale_frac: float,
     |id| <= 1/s_min over the draw ranges (det A = s^2). +3 covers the
     bilinear tent support and the floor() in the base row.
     """
-    s_min = max(1.0 - abs(scale_frac), 0.1)
+    s_min = 1.0 - abs(scale_frac)
+    if s_min < 0.1:
+        # the drawn scale can get arbitrarily close to 0, so no finite
+        # band is sound — disable banding (resampler falls back to dense)
+        return 1 << 30
     ang = min(abs(rotation_deg) + abs(shear_deg), 89.0) * math.pi / 180.0
     spread = math.sin(ang) / s_min * (width - 1) + (chunk_rows - 1) / s_min
     return int(math.ceil(spread)) + 3
@@ -260,8 +264,6 @@ def _use_mxu_resample() -> bool:
 def _use_pallas_resample() -> bool:
     """Opt-in alternate kernel (see ops/pallas_kernels.py for the
     measured trade-off at production shapes)."""
-    import os
-
     return _use_mxu_resample() and bool(os.environ.get("PRIMIA_PALLAS_AUGMENT"))
 
 

@@ -392,101 +392,113 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
-    # background checkpoint writer (one worker: writes stay ordered)
+    # background checkpoint writer (one worker: writes stay ordered);
+    # futures are collected so save errors surface, and at most one save
+    # is in flight so queued device snapshots can't pile up in HBM
     from concurrent.futures import ThreadPoolExecutor
 
     ckpt_writer = ThreadPoolExecutor(max_workers=1)
+    ckpt_futures = []
+
+    def submit_save(**kw):
+        if ckpt_futures:
+            ckpt_futures[-1].result()  # bound in-flight saves to 1
+        ckpt_futures.append(ckpt.save_model(**kw, executor=ckpt_writer))
+
     rng_key = jax.random.fold_in(key, 99)
-    for epoch in range(start_at_epoch, args.epochs + 1):
-        lr = scheduler.get_lr(epoch - 1)
-        if not args.keep_optim_dict:
-            stacked = TrainState(stacked.params, stacked.model_state,
-                                 stacked_opt_init(stacked.params))
-        iters = [iter(l) for l in loaders]
-        reps_done = [0] * n_nodes
-        losses = []
-        max_b = max(num_batches)
-        for batch_idx in range(max_b):
-            imgs, labs, masks, active = [], [], [], []
-            for i in range(n_nodes):
-                if batch_idx >= num_batches[i]:
-                    imgs.append(jnp.zeros((args.batch_size, *node_imgs[i].shape[1:]),
-                                          jnp.uint8))
-                    labs.append(np.zeros(args.batch_size, np.int32))
-                    masks.append(np.zeros(args.batch_size, np.float32))
-                    active.append(0.0)
-                    continue
-                try:
-                    b = next(iters[i])
-                except StopIteration:
-                    reps_done[i] += 1
-                    iters[i] = iter(loaders[i])
-                    b = next(iters[i])
-                imgs.append(b.images)
-                labs.append(b.labels)
-                masks.append(b.mask)
-                active.append(1.0)
-            rng_key, sk = jax.random.split(rng_key)
-            node_keys = jax.random.split(sk, n_nodes)
-            stacked, loss = fed_step(
-                stacked, node_keys, jnp.stack(imgs),
-                jnp.asarray(np.stack([np.asarray(l) for l in labs])),
-                jnp.asarray(np.stack([np.asarray(m) for m in masks])), lr,
-                jnp.asarray(active),
-            )
-            # defer host syncs to epoch end: one device fetch per batch
-            # would serialize the loop against the link latency
-            losses.append((loss, active))
+    try:
+        for epoch in range(start_at_epoch, args.epochs + 1):
+            lr = scheduler.get_lr(epoch - 1)
+            if not args.keep_optim_dict:
+                stacked = TrainState(stacked.params, stacked.model_state,
+                                     stacked_opt_init(stacked.params))
+            iters = [iter(l) for l in loaders]
+            reps_done = [0] * n_nodes
+            losses = []
+            max_b = max(num_batches)
+            for batch_idx in range(max_b):
+                imgs, labs, masks, active = [], [], [], []
+                for i in range(n_nodes):
+                    if batch_idx >= num_batches[i]:
+                        imgs.append(jnp.zeros((args.batch_size, *node_imgs[i].shape[1:]),
+                                              jnp.uint8))
+                        labs.append(np.zeros(args.batch_size, np.int32))
+                        masks.append(np.zeros(args.batch_size, np.float32))
+                        active.append(0.0)
+                        continue
+                    try:
+                        b = next(iters[i])
+                    except StopIteration:
+                        reps_done[i] += 1
+                        iters[i] = iter(loaders[i])
+                        b = next(iters[i])
+                    imgs.append(b.images)
+                    labs.append(b.labels)
+                    masks.append(b.mask)
+                    active.append(1.0)
+                rng_key, sk = jax.random.split(rng_key)
+                node_keys = jax.random.split(sk, n_nodes)
+                stacked, loss = fed_step(
+                    stacked, node_keys, jnp.stack(imgs),
+                    jnp.asarray(np.stack([np.asarray(l) for l in labs])),
+                    jnp.asarray(np.stack([np.asarray(m) for m in masks])), lr,
+                    jnp.asarray(active),
+                )
+                # defer host syncs to epoch end: one device fetch per batch
+                # would serialize the loop against the link latency
+                losses.append((loss, active))
 
-            if batch_idx > 0 and batch_idx % args.sync_every_n_batch == 0:
-                stacked = aggregate(stacked)
-        stacked = aggregate(stacked)
-        # ONE batched device fetch for the epoch's losses (each blocking
-        # per-batch fetch pays the full link round-trip)
-        fetched = jax.device_get([dev for dev, _ in losses])
-        epoch_losses = [
-            float(l)
-            for dev, (_, act) in zip(fetched, losses)
-            for l, a in zip(dev, act)
-            if a
-        ]
-        mon.add_scalar("train_loss", epoch, float(np.mean(epoch_losses)))
-        mon.add_scalar("lr", epoch, float(lr))
-        if verbose:
-            print("Train Epoch: {} \tLoss: {:.6f}".format(
-                epoch, float(np.mean(epoch_losses))))
+                if batch_idx > 0 and batch_idx % args.sync_every_n_batch == 0:
+                    stacked = aggregate(stacked)
+            stacked = aggregate(stacked)
+            # ONE batched device fetch for the epoch's losses (each blocking
+            # per-batch fetch pays the full link round-trip)
+            fetched = jax.device_get([dev for dev, _ in losses])
+            epoch_losses = [
+                float(l)
+                for dev, (_, act) in zip(fetched, losses)
+                for l, a in zip(dev, act)
+                if a
+            ]
+            mon.add_scalar("train_loss", epoch, float(np.mean(epoch_losses)))
+            mon.add_scalar("lr", epoch, float(lr))
+            if verbose:
+                print("Train Epoch: {} \tLoss: {:.6f}".format(
+                    epoch, float(np.mean(epoch_losses))))
 
-        if (epoch % args.test_interval) == 0:
-            val_loss, matthews = run_eval(eval_step, *local_model(stacked), val_loader,
-                                          epoch, class_names, verbose)
-            mon.add_scalar("val_loss", epoch, float(val_loss))
-            mon.add_scalar("val_mcc", epoch, float(matthews))
-            model_path = os.path.join(
-                weights_dir,
-                "{:s}_epoch_{:03d}.pt".format(
-                    exp_name, epoch * max(args.repetitions_dataset, 1)
-                ),
-            )
-            if optuna_trial is not None:
-                optuna_trial.report(matthews, epoch * max(args.repetitions_dataset, 1))
-                if optuna_trial.should_prune():
-                    from primia_tpu.train.hpo import TrialPruned
+            if (epoch % args.test_interval) == 0:
+                val_loss, matthews = run_eval(eval_step, *local_model(stacked), val_loader,
+                                              epoch, class_names, verbose)
+                mon.add_scalar("val_loss", epoch, float(val_loss))
+                mon.add_scalar("val_mcc", epoch, float(matthews))
+                model_path = os.path.join(
+                    weights_dir,
+                    "{:s}_epoch_{:03d}.pt".format(
+                        exp_name, epoch * max(args.repetitions_dataset, 1)
+                    ),
+                )
+                if optuna_trial is not None:
+                    optuna_trial.report(matthews, epoch * max(args.repetitions_dataset, 1))
+                    if optuna_trial.should_prune():
+                        from primia_tpu.train.hpo import TrialPruned
 
-                    raise TrialPruned()
-            lp, ls = local_model(stacked)
-            ckpt.save_model(
-                model_path, epoch=epoch, params=lp, model_state=ls,
-                opt_state={w: _index_tree(stacked.opt_state, i)
-                           for i, w in enumerate(worker_names)},
-                args=args, val_mean_std=(np.asarray(mean), np.asarray(std)),
-                executor=ckpt_writer,
-            )
-            matthews_scores.append(matthews)
-            model_paths.append(model_path)
-
-    # all checkpoint writes must hit disk before best-model selection
-    # copies/deletes them
-    ckpt_writer.shutdown(wait=True)
+                        raise TrialPruned()
+                lp, ls = local_model(stacked)
+                submit_save(
+                    path=model_path, epoch=epoch, params=lp, model_state=ls,
+                    opt_state={w: _index_tree(stacked.opt_state, i)
+                               for i, w in enumerate(worker_names)},
+                    args=args, val_mean_std=(np.asarray(mean), np.asarray(std)),
+                )
+                matthews_scores.append(matthews)
+                model_paths.append(model_path)
+    finally:
+        # all checkpoint writes must hit disk before best-model
+        # selection copies/deletes them (and even when the loop exits
+        # via TrialPruned or any error, the writer must not leak)
+        ckpt_writer.shutdown(wait=True)
+    for f in ckpt_futures:
+        f.result()  # surface background fetch/write errors
 
     if not matthews_scores:
         # zero effective epochs (epochs < repetitions_dataset divides to

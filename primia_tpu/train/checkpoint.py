@@ -121,6 +121,11 @@ def save_model(
     copies decouple the checkpoint from buffers the next train step may
     donate), and the ~2.6 s device fetch + ~130 MB disk write both run
     in the background, hidden behind the next epoch's compute.
+
+    Returns the submitted ``Future`` when an executor is given (callers
+    MUST ``.result()`` it eventually — a dropped future swallows fetch
+    or disk errors and silently loses the checkpoint), else ``None``
+    after writing synchronously.
     """
     import jax
     import jax.numpy as jnp
@@ -156,9 +161,9 @@ def save_model(
         save_tree(path, tree)
 
     if executor is not None:
-        executor.submit(fetch_and_write)
-    else:
-        fetch_and_write()
+        return executor.submit(fetch_and_write)
+    fetch_and_write()
+    return None
 
 
 def load_model(path) -> Dict[str, Any]:

@@ -185,62 +185,75 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
-    # background checkpoint writer (one worker: writes stay ordered)
+    # background checkpoint writer (one worker: writes stay ordered);
+    # futures are collected so save errors surface, and at most one save
+    # is in flight so queued device snapshots can't pile up in HBM
     from concurrent.futures import ThreadPoolExecutor
 
     ckpt_writer = ThreadPoolExecutor(max_workers=1)
-    for epoch in range(start_at_epoch, args.epochs + 1):
-        lr = scheduler.get_lr(epoch - 1)
-        avg_loss = []
-        for batch in device_prefetch(train_loader):
-            key, sk = jax.random.split(key)
-            ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
-            avg_loss.append(loss)
-        epoch_loss = float(np.mean(jax.device_get(avg_loss)))
-        mon.add_scalar("train_loss", epoch, epoch_loss)
-        mon.add_scalar("lr", epoch, float(lr))
-        if verbose:
-            print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, epoch_loss))
-        if args.differentially_private and verbose:
-            from primia_tpu.train.dp import rdp_epsilon
+    ckpt_futures = []
 
-            eps, alpha = rdp_epsilon(
-                noise_multiplier=args.noise_multiplier,
-                sample_rate=min(args.batch_size / max(len(train_imgs), 1), 1.0),
-                steps=epoch * len(train_loader),
-                delta=args.target_delta,
-            )
-            print(f"(eps = {eps:.2f}, delta = {args.target_delta}) at alpha = {alpha}")
+    def submit_save(**kw):
+        if ckpt_futures:
+            ckpt_futures[-1].result()  # bound in-flight saves to 1
+        ckpt_futures.append(ckpt.save_model(**kw, executor=ckpt_writer))
 
-        if (epoch % args.test_interval) == 0:
-            val_loss, matthews = run_eval(
-                eval_step, ts.params, ts.model_state, val_loader, epoch,
-                class_names, verbose,
-            )
-            mon.add_scalar("val_loss", epoch, float(val_loss))
-            mon.add_scalar("val_mcc", epoch, float(matthews))
-            model_path = os.path.join(
-                weights_dir, "{:s}_epoch_{:03d}.pt".format(
-                    exp_name, epoch * (args.repetitions_dataset or 1)
+    try:
+        for epoch in range(start_at_epoch, args.epochs + 1):
+            lr = scheduler.get_lr(epoch - 1)
+            avg_loss = []
+            for batch in device_prefetch(train_loader):
+                key, sk = jax.random.split(key)
+                ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
+                avg_loss.append(loss)
+            epoch_loss = float(np.mean(jax.device_get(avg_loss)))
+            mon.add_scalar("train_loss", epoch, epoch_loss)
+            mon.add_scalar("lr", epoch, float(lr))
+            if verbose:
+                print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, epoch_loss))
+            if args.differentially_private and verbose:
+                from primia_tpu.train.dp import rdp_epsilon
+
+                eps, alpha = rdp_epsilon(
+                    noise_multiplier=args.noise_multiplier,
+                    sample_rate=min(args.batch_size / max(len(train_imgs), 1), 1.0),
+                    steps=epoch * len(train_loader),
+                    delta=args.target_delta,
                 )
-            )
-            if optuna_trial is not None:
-                optuna_trial.report(matthews, epoch * (args.repetitions_dataset or 1))
-                if optuna_trial.should_prune():
-                    from primia_tpu.train.hpo import TrialPruned
+                print(f"(eps = {eps:.2f}, delta = {args.target_delta}) at alpha = {alpha}")
 
-                    raise TrialPruned()
-            ckpt.save_model(
-                model_path, epoch=epoch, params=ts.params,
-                model_state=ts.model_state, opt_state=ts.opt_state, args=args,
-                val_mean_std=(mean, std), executor=ckpt_writer,
-            )
-            matthews_scores.append(matthews)
-            model_paths.append(model_path)
+            if (epoch % args.test_interval) == 0:
+                val_loss, matthews = run_eval(
+                    eval_step, ts.params, ts.model_state, val_loader, epoch,
+                    class_names, verbose,
+                )
+                mon.add_scalar("val_loss", epoch, float(val_loss))
+                mon.add_scalar("val_mcc", epoch, float(matthews))
+                model_path = os.path.join(
+                    weights_dir, "{:s}_epoch_{:03d}.pt".format(
+                        exp_name, epoch * (args.repetitions_dataset or 1)
+                    )
+                )
+                if optuna_trial is not None:
+                    optuna_trial.report(matthews, epoch * (args.repetitions_dataset or 1))
+                    if optuna_trial.should_prune():
+                        from primia_tpu.train.hpo import TrialPruned
 
-    # all checkpoint writes must hit disk before best-model selection
-    # copies/deletes them
-    ckpt_writer.shutdown(wait=True)
+                        raise TrialPruned()
+                submit_save(
+                    path=model_path, epoch=epoch, params=ts.params,
+                    model_state=ts.model_state, opt_state=ts.opt_state,
+                    args=args, val_mean_std=(mean, std),
+                )
+                matthews_scores.append(matthews)
+                model_paths.append(model_path)
+    finally:
+        # all checkpoint writes must hit disk before best-model
+        # selection copies/deletes them (and even when the loop exits
+        # via TrialPruned or any error, the writer must not leak)
+        ckpt_writer.shutdown(wait=True)
+    for f in ckpt_futures:
+        f.result()  # surface background fetch/write errors
 
     if not matthews_scores:
         # resumed at/after the final epoch: nothing to train or select

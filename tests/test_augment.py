@@ -132,6 +132,9 @@ def test_affine_row_band_bounds():
     assert I.affine_row_band(10.0, 0.0, 0.15, 224) < 80
     # extreme rotation: band exceeds H -> resampler falls back to dense
     assert I.affine_row_band(80.0, 0.0, 0.5, 224) > 224
+    # near-zero minimum scale: no finite band is sound -> banding off
+    assert I.affine_row_band(5.0, 0.0, 0.95, 224) > (1 << 20)
+    assert I.affine_row_band(5.0, 0.0, 1.5, 224) > (1 << 20)
 
 
 def test_twopass_safe_bounds():
