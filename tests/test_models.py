@@ -29,7 +29,10 @@ def _args(**kw):
 @pytest.mark.parametrize(
     "model,res,pool",
     [("resnet-18", 32, "max"), ("resnet-18", 64, "avg"),
-     ("vgg16", 32, "max"), ("simpleconv", 28, "max")],
+     ("vgg16", 32, "max"), ("simpleconv", 28, "max"),
+     # the reference's high-res inference option (configs allow
+     # inference_resolution 512; ConvNet512, models.py:558)
+     ("simpleconv", 512, "max"), ("resnet-18", 512, "max")],
 )
 def test_forward_shapes(model, res, pool):
     args = _args(model=model, train_resolution=res, inference_resolution=res,
