@@ -180,6 +180,44 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(state["val_mean_std"][0], [0.5])
 
 
+def test_async_checkpoint_roundtrip_and_error_surface(tmp_path, monkeypatch):
+    """With an executor, save_model returns a Future; the write happens
+    in the background and errors surface through .result() instead of
+    being silently swallowed (a dropped checkpoint must not go
+    unnoticed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from primia_tpu.train import checkpoint as ckpt
+
+    params = {"w": jnp.ones((2, 2))}
+    args = Arguments(model="resnet-18")
+    ex = ThreadPoolExecutor(max_workers=1)
+    p = tmp_path / "ok.pt"
+    fut = ckpt.save_model(
+        p, epoch=1, params=params, model_state={}, opt_state=None, args=args,
+        val_mean_std=(np.array([0.5]), np.array([0.2])), executor=ex,
+    )
+    assert fut is not None
+    fut.result()
+    assert ckpt.load_model(p)["epoch"] == 1
+
+    # a failing background write must raise at .result()
+    def boom(path, tree):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt, "save_tree", boom)
+    fut = ckpt.save_model(
+        tmp_path / "bad.pt", epoch=2, params=params, model_state={},
+        opt_state=None, args=args,
+        val_mean_std=(np.array([0.5]), np.array([0.2])), executor=ex,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="disk full"):
+        fut.result()
+    ex.shutdown(wait=True)
+
+
 def test_save_config_results(tmp_path):
     import pandas as pd
 
