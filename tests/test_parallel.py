@@ -69,3 +69,54 @@ def test_dp_eval_step_sharded_logits():
                                     jnp.asarray(mask)), mesh))
     assert logits.shape == (16, 3)
     assert np.isfinite(float(loss))
+
+
+def test_multihost_factor_mesh():
+    from primia_tpu.parallel.multihost import factor_mesh
+
+    assert factor_mesh(8, 3) == (2, 4)   # 3 doesn't divide 8 -> 2 nodes
+    assert factor_mesh(8, 4) == (4, 2)
+    assert factor_mesh(8, 8) == (8, 1)
+    assert factor_mesh(6, 3) == (3, 2)
+    assert factor_mesh(1, 3) == (1, 1)
+
+
+def test_multihost_initialize_noop_and_mesh():
+    """Without a cluster environment initialize() is a no-op; the
+    federated mesh spans the (virtual) 8-device slice."""
+    import jax
+
+    from primia_tpu.parallel import multihost
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert multihost.initialize() is False  # backend already up / no cluster
+    idx, count, ndev = multihost.slice_topology()
+    assert idx == 0 and count == 1 and ndev == len(jax.devices())
+    mesh = multihost.federated_mesh(n_nodes=3)
+    assert mesh.axis_names == ("node", "data")
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_multihost_mesh_runs_secure_fedavg():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from primia_tpu.mpc.aggregation import secure_fedavg
+    from primia_tpu.parallel import multihost
+
+    mesh = multihost.federated_mesh(n_nodes=4)
+    node_n = mesh.shape["node"]
+    stacked = {"w": jnp.broadcast_to(jnp.arange(6.0).reshape(2, 3),
+                                     (node_n, 2, 3))}
+    weights = np.full(node_n, 1.0 / node_n)
+    with mesh:
+        sh = NamedSharding(mesh, P("node"))
+        stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+        out = jax.jit(lambda k, t: secure_fedavg(k, t, weights))(
+            jax.random.PRNGKey(0), stacked)
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               np.arange(6.0).reshape(2, 3), atol=1e-3)
