@@ -27,7 +27,7 @@ VALID_OPTIMIZERS = ("SGD", "Adam")
 VALID_POOLING = ("max", "avg")
 
 
-@dataclass
+@dataclass(kw_only=True)
 class Arguments:
     """All knobs for training / inference, merged from INI + CLI.
 
