@@ -114,12 +114,16 @@ def _blend(mask, new, old):
 def _affine_mats(key, cfg: AugmentConfig, B) -> jnp.ndarray:
     """Inverse affine matrices (B,2,3), torchvision RandomAffine ranges."""
     kr, kt, ks, kh = jax.random.split(key, 4)
-    deg = jax.random.uniform(kr, (B,), minval=-cfg.rotation, maxval=cfg.rotation)
+    deg = jax.random.uniform(kr, (B,), minval=-cfg.rotation,
+                             maxval=cfg.rotation, dtype=jnp.float32)
     theta = deg * (math.pi / 180.0)
     # translate fraction of width/height
-    t = jax.random.uniform(kt, (B, 2), minval=-cfg.translate, maxval=cfg.translate)
-    s = jax.random.uniform(ks, (B,), minval=1.0 - cfg.scale, maxval=1.0 + cfg.scale)
-    shear = jax.random.uniform(kh, (B,), minval=-cfg.shear, maxval=cfg.shear) * (
+    t = jax.random.uniform(kt, (B, 2), minval=-cfg.translate,
+                           maxval=cfg.translate, dtype=jnp.float32)
+    s = jax.random.uniform(ks, (B,), minval=1.0 - cfg.scale,
+                           maxval=1.0 + cfg.scale, dtype=jnp.float32)
+    shear = jax.random.uniform(kh, (B,), minval=-cfg.shear, maxval=cfg.shear,
+                               dtype=jnp.float32) * (
         math.pi / 180.0
     )
     cos, sin = jnp.cos(theta), jnp.sin(theta)
@@ -189,7 +193,8 @@ def _coarse_field(key, B, H, W, coarse: int, amp) -> Tuple[jnp.ndarray, jnp.ndar
     (200,2,28,28)->(...,224,224) field on TPU; the separable matmul form
     rides the MXU (<1 ms). Distributionally identical (same tent
     interpolation of the same uniform draws)."""
-    f = jax.random.uniform(key, (B, 2, coarse, coarse), minval=-1.0, maxval=1.0)
+    f = jax.random.uniform(key, (B, 2, coarse, coarse), minval=-1.0,
+                           maxval=1.0, dtype=jnp.float32)
     wh = _upsample_matrix(H, coarse)
     ww = _upsample_matrix(W, coarse)
     up = jnp.einsum("hi,bcij,wj->bchw", wh, f, ww)
@@ -300,14 +305,15 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 # at keys[47+idx-7] — disjoint from every gate/param key
                 m = (_gate(keys[idx], p, B) & block_on).astype(jnp.float32)
                 if fieldfn is not None:
-                    amp = jax.random.uniform(keys[47 + idx - 7], (B,),
-                                             maxval=amp_max) * m
+                    amp = jax.random.uniform(keys[47 + idx - 7], (B,), maxval=amp_max,
+                                             dtype=jnp.float32) * m
                     fy, fx = fieldfn(keys[44 + idx - 7], B, Rt, Rt, amp=amp)
                     dy, dx = dy + fy, dx + fx
                 else:
                     # barrel/pincushion: r' = r (1 + k r^2), k ~ U(-.05,.05)
                     kk = jax.random.uniform(
-                        keys[47 + idx - 7], (B, 1, 1), minval=-0.05, maxval=0.05
+                        keys[47 + idx - 7], (B, 1, 1), minval=-0.05,
+                        maxval=0.05, dtype=jnp.float32
                     ) * m[:, None, None]
                     cy = cx = (Rt - 1) / 2.0
                     ys = jax.lax.broadcasted_iota(jnp.float32, (Rt, Rt), 0) - cy
@@ -338,7 +344,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         if cfg.hsv and channels == 3:
             def hsv_fn(k):
                 sh = jax.random.uniform(k, (B, 1, 1, 3), minval=-1.0, maxval=1.0)
-                sh = sh * jnp.array([20 / 255.0, 30 / 255.0, 20 / 255.0])
+                sh = (sh * jnp.array([20 / 255.0, 30 / 255.0, 20 / 255.0])).astype(dt)
                 hsv = _hsv_impl(x)
                 hsv = jnp.stack(
                     [(hsv[..., 0] + sh[..., 0]) % 1.0,
@@ -366,7 +372,9 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                         & (xs[None] >= c[:, 1:2, None]) & (xs[None] < c[:, 1:2, None] + wh[:, 1:2, None])
                     )
                     mask = mask * (1.0 - inside[..., None].astype(jnp.float32))
-                return out * mask
+                # keep the image in its compute dtype (an f32 mask would
+                # promote the whole blend chain — see fog)
+                return out * mask.astype(dt)
             gated(13, p, cutout_fn)
 
         if cfg.shadow:
@@ -400,7 +408,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 d2 = (ys[None] - c[:, 0, None, None]) ** 2 + (
                     xs[None] - c[:, 1, None, None]) ** 2
                 glow = jnp.exp(-d2 / (2 * (rad[:, None, None] / 2) ** 2))
-                return jnp.clip(x + glow[..., None], 0, 1)
+                return jnp.clip(x + glow[..., None].astype(dt), 0, 1)
             gated(16, p, flare_fn)
 
         if cfg.solarize:
