@@ -143,11 +143,6 @@ def _affine_mats(key, cfg: AugmentConfig, B) -> jnp.ndarray:
     )
 
 
-def _rgb_to_hsv(x):
-    return jnp.stack(jax.vmap(jnp.vectorize(_px_rgb2hsv, signature="(c)->(c)"))(x), 0) \
-        if False else _hsv_impl(x)
-
-
 def _hsv_impl(x):
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
     mx = jnp.maximum(jnp.maximum(r, g), b)
