@@ -16,6 +16,17 @@ import os as _os
 
 import jax as _jax
 
+# Honor JAX_PLATFORMS even when the interpreter pre-imported jax and
+# pinned a platform through jax.config (which silently outranks the env
+# var): `JAX_PLATFORMS=cpu python -m primia_tpu.cli.train ...` must run
+# on CPU.  Only effective before the first backend initializes.
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass  # backend already live; too late to switch
+
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the share-space (MPC) programs are

@@ -25,6 +25,19 @@ from primia_tpu.mpc import fixed
 from primia_tpu.mpc import shares as S
 
 
+def _leaf_key(path) -> int:
+    """Stable per-leaf PRNG fold-in value.
+
+    Python's string ``hash`` is salted per process, so it would draw
+    different shares across runs even with a fixed seed (breaking the
+    reference's deterministic-seed contract, ``train.py:63-68``); use a
+    process-independent CRC-32 of the key path instead.
+    """
+    import zlib
+
+    return zlib.crc32(jax.tree_util.keystr(path).encode("utf-8"))
+
+
 def _is_count_leaf(path) -> bool:
     """BN batch counters are excluded from aggregation (reference skips
     ``num_batches_tracked``, ``utils.py:1049``)."""
@@ -50,7 +63,7 @@ def secure_fedavg(key, stacked_tree, weights, frac_bits: int = fixed.DEFAULT_FRA
         w = weights.reshape((-1,) + (1,) * (leaf.ndim - 1))
         scaled = jnp.asarray(leaf, jnp.float64) * w
         ring = fixed.encode(scaled, frac_bits)  # (N, ...)
-        shared = S.share(jax.random.fold_in(key, abs(hash(jax.tree_util.keystr(path))) % (2 ** 31)), ring)
+        shared = S.share(jax.random.fold_in(key, _leaf_key(path)), ring)
         summed = AShareSumNodes(shared)
         revealed = S.reconstruct(summed)
         return fixed.decode(revealed, frac_bits).astype(leaf.dtype)

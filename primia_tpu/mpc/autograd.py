@@ -219,7 +219,13 @@ def avg_pool(ctx: MpcContext, x: Var, window: int, stride: Optional[int] = None)
     def vjp(g):
         scaled = fixed.truncate_shares(g.data * inv, ctx.frac_bits)
         up = jnp.repeat(jnp.repeat(scaled, window, axis=2), window, axis=3)
-        return (AShare(up[:, :, :H, :W, :]),)
+        # VALID pooling drops partial windows when H/W are not multiples
+        # of the window; those input positions get zero gradient, so
+        # zero-pad back to (H, W) rather than returning a smaller share
+        # (a bare slice would shape-mismatch the upstream VJP at trace).
+        ph, pw = H - up.shape[2], W - up.shape[3]
+        up = jnp.pad(up, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)))
+        return (AShare(up),)
 
     return Var(out, (x,), vjp)
 

@@ -113,11 +113,20 @@ def matmul(key, x: RShare, y: RShare) -> RShare:
     return _mul_core(key, x, y, ring_ops.ring_matmul)
 
 
-def truncate(x: RShare, frac_bits: int = fixed.DEFAULT_FRAC_BITS) -> RShare:
+def truncate(key, x: RShare, frac_bits: int = fixed.DEFAULT_FRAC_BITS) -> RShare:
     """Fixed-point rescale after a product: convert to a 2-of-2 split
-    (parts 0+1 vs part 2), truncate each side SecureML-style, re-split.
-    Error <= 1 ulp for |x| << 2^(63 - frac_bits), same contract as the
-    2-party engine (``fixed.truncate_shares``)."""
+    (parts 0+1 vs part 2), truncate each side SecureML-style,
+    re-randomize, re-split. Error <= 1 ulp for
+    |x| << 2^(63 - frac_bits), same contract as the 2-party engine
+    (``fixed.truncate_shares``).
+
+    The PRZS re-randomization before re-replication is load-bearing for
+    secrecy: without it the 3-of-3 vector is (t0, 0, t1), and party 2's
+    replicated pair (x_2, x_0) = (t1, t0) would span the full 2-of-2
+    sharing — a single party could reconstruct the plaintext.
+    """
     parts = jnp.stack([x.data[0, 0] + x.data[1, 0], x.data[2, 0]])
     t = fixed.truncate_shares(parts, frac_bits)
-    return _replicate(jnp.stack([t[0], jnp.zeros_like(t[0]), t[1]]))
+    raw = jnp.stack([t[0], jnp.zeros_like(t[0]), t[1]])
+    alpha = przs.zero_shares(przs.setup(key, N_PARTIES), raw.shape[1:])
+    return _replicate(raw + alpha)

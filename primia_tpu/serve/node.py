@@ -118,8 +118,7 @@ class GridNode:
             if tag not in self.store or not self._permitted(tag, msg):
                 # identical answer whether absent or private: existence
                 # of a private object is itself private
-                return {"error": f"no object tagged {tag}",
-                        "not_permitted": tag in self.store}
+                return {"error": f"no object tagged {tag}"}
             return {"tag": tag, "array": self.store[tag]}
         if op == "load_data":
             self.store[msg["tag"]] = msg["array"]
@@ -129,15 +128,18 @@ class GridNode:
                 self.acl.pop(msg["tag"], None)
             return {"ok": True}
         if op == "delete_obj":
-            if not self._permitted(msg["tag"], msg):
-                return {"error": "not permitted"}
-            self.store.pop(msg["tag"], None)
-            self.acl.pop(msg["tag"], None)
+            tag = msg["tag"]
+            # one answer for absent AND unpermitted: existence of a
+            # private object is itself private
+            if tag not in self.store or not self._permitted(tag, msg):
+                return {"error": f"no object tagged {tag}"}
+            self.store.pop(tag, None)
+            self.acl.pop(tag, None)
             return {"ok": True}
         if op == "get_data_shares":
             tag = msg.get("tag", "#inference_data")
             if tag in self.store and not self._permitted(tag, msg):
-                return {"error": f"no object tagged {tag}", "not_permitted": True}
+                return {"error": f"no object tagged {tag}"}
             return self._get_data_shares(msg)
         if op == "train_round":
             return self._train_round(msg)

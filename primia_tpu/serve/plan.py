@@ -56,9 +56,23 @@ class Plan:
         jitted = jax.jit(flat_fn)
         try:
             exported = jax_export.export(jitted, platforms=tuple(platforms))(*flat)
-        except Exception:
-            # some backends reject cross-platform lowering for specific
-            # primitives; fall back to the current backend only
+        except Exception as e:  # narrow by message: jax has no stable type here
+            # Some backends reject cross-platform lowering for specific
+            # primitives. Only THAT failure may fall back to a
+            # single-platform export — anything else is a genuine trace
+            # bug and must propagate, not be masked by a confusing
+            # second error.
+            msg = str(e).lower()
+            if not ("platform" in msg and
+                    ("lowering" in msg or "not implemented" in msg
+                     or "unsupported" in msg)):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"plan {name!r}: cross-platform export failed ({e}); "
+                "falling back to a single-platform plan that only runs "
+                "on the tracing backend", stacklevel=2)
             exported = jax_export.export(jitted)(*flat)
         return Plan(exported, name, len(flat))
 

@@ -87,9 +87,32 @@ class TestReplicated:
         yf = rng.uniform(-4, 4, (10,))
         x = replicated.share(jax.random.PRNGKey(1), fixed.encode(xf))
         y = replicated.share(jax.random.PRNGKey(2), fixed.encode(yf))
-        z = replicated.truncate(replicated.mul(jax.random.PRNGKey(3), x, y))
+        z = replicated.truncate(
+            jax.random.PRNGKey(4), replicated.mul(jax.random.PRNGKey(3), x, y))
         out = np.asarray(fixed.decode(replicated.reconstruct(z)))
         np.testing.assert_allclose(out, xf * yf, atol=1e-3)
+
+    def test_truncate_single_party_reveals_nothing(self, rng):
+        """Post-truncate state must stay secret against a single party:
+        no party's replicated pair may sum (or otherwise combine) to the
+        plaintext — the re-randomization regression for the (t0, 0, t1)
+        layout where party 2 held both halves of the 2-of-2 split."""
+        xf = rng.uniform(1.0, 4.0, (32,))
+        x = replicated.share(jax.random.PRNGKey(1), fixed.encode(xf))
+        sq = replicated.mul(jax.random.PRNGKey(2), x, x)
+        z = replicated.truncate(jax.random.PRNGKey(5), sq)
+        plain = fixed.encode(xf * xf)
+        d = np.asarray(z.data)
+        for party in range(3):
+            pair_sum = d[party, 0] + d[party, 1]
+            assert not np.allclose(
+                np.asarray(fixed.decode(pair_sum)), xf * xf, atol=0.5), (
+                f"party {party}'s pair reconstructs the plaintext")
+        # and no single slot is the plaintext either
+        for party in range(3):
+            for slot in range(2):
+                assert np.abs(
+                    np.asarray(d[party, slot]) - np.asarray(plain)).min() > 0
 
     def test_jit_traceable(self):
         @jax.jit

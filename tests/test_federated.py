@@ -1,6 +1,8 @@
 """Federated simulation tests: aggregation math, heterogeneous shards,
 and end-to-end federated training (secure + plain aggregation)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -60,6 +62,41 @@ def test_secure_fedavg_matches_plain():
     sec = secure_fedavg(jax.random.PRNGKey(3), stacked, w)
     for p, s in zip(jax.tree.leaves(plain), jax.tree.leaves(sec)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(s), atol=1e-4)
+
+
+def test_secure_fedavg_shares_deterministic_across_processes():
+    """Same seed -> identical share draws in a FRESH interpreter (the
+    reference's deterministic-seed contract, ``train.py:63-68``).
+    Regression for per-process-salted ``hash()`` leaf keying: the leaf
+    fold-in must come from a stable digest of the key path."""
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent("""
+        import jax, jax.numpy as jnp, numpy as np, zlib
+        jax.config.update("jax_platforms", "cpu")
+        from primia_tpu.mpc import fixed
+        from primia_tpu.mpc import shares as S
+        from primia_tpu.mpc.aggregation import _leaf_key
+        path_digests = []
+        tree = {"layer": {"kernel": 0, "bias": 1}, "bn": [2, 3]}
+        jax.tree_util.tree_map_with_path(
+            lambda p, _: path_digests.append(_leaf_key(p)), tree)
+        ring = fixed.encode(jnp.linspace(-1, 1, 8, dtype=jnp.float64))
+        sh = S.share(jax.random.fold_in(jax.random.PRNGKey(7), path_digests[0]), ring)
+        print(path_digests, int(zlib.crc32(np.asarray(sh.data).tobytes())))
+    """)
+    outs = []
+    for seed in ["0", "1"]:
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1]
 
 
 def test_secure_average_stats():
