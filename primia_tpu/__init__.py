@@ -19,9 +19,13 @@ import jax as _jax
 # Honor JAX_PLATFORMS even when the interpreter pre-imported jax and
 # pinned a platform through jax.config (which silently outranks the env
 # var): `JAX_PLATFORMS=cpu python -m primia_tpu.cli.train ...` must run
-# on CPU.  Only effective before the first backend initializes.
+# on CPU.  Only effective before the first backend initializes, and only
+# when nothing in-process has already chosen a DIFFERENT platform than
+# the environment default (e.g. tests pin cpu via jax.config while the
+# image exports JAX_PLATFORMS=axon — that explicit pin must win).
 _plat = _os.environ.get("JAX_PLATFORMS")
-if _plat:
+_cur = getattr(_jax.config, "jax_platforms", None)
+if _plat and _cur in (None, "", _plat, "axon"):
     try:
         _jax.config.update("jax_platforms", _plat)
     except Exception:

@@ -22,7 +22,7 @@ class NodeClient:
 
     def __init__(self, node_id: str, host: str, port: int,
                  http_only: bool = False, timeout: float = 600.0,
-                 user: Optional[str] = None):
+                 user: Optional[str] = None, token: Optional[str] = None):
         # generous default: remote MPC requests block on the node's
         # first XLA compile (the reference passes timeout=60000s for the
         # same reason, inference.py:121)
@@ -34,6 +34,8 @@ class NodeClient:
         # credential presented against allowed-users-gated objects
         # (the PrivateTensor role; see GridNode._permitted)
         self.user = user
+        # JWT bearer token for authenticated nodes (serve/auth.py)
+        self.token = token
         self._ws = None
 
     def _ensure_ws(self):
@@ -56,6 +58,8 @@ class NodeClient:
     def send(self, msg: dict) -> dict:
         if self.user is not None and "user" not in msg:
             msg = {**msg, "user": self.user}
+        if self.token is not None and "token" not in msg:
+            msg = {**msg, "token": self.token}
         if self.http_only:
             return self._http_send(msg)
         try:

@@ -41,12 +41,34 @@ from primia_tpu.serve.protocol import pack, unpack
 class GridNode:
     def __init__(self, node_id: str, data_directory: Optional[str] = None,
                  config: Optional[str] = None, mean_std_file: Optional[str] = None,
-                 inference_resolution: int = 224, channels: int = 1):
+                 inference_resolution: int = 224, channels: int = 1,
+                 storage_dir: Optional[str] = None,
+                 auth_secret: Optional[bytes] = None,
+                 num_replicas: int = 1):
         self.id = node_id
         self.store: Dict[str, np.ndarray] = {}
         self.models: Dict[str, dict] = {}  # hosted models (serve_model)
         self.plans: Dict[str, bytes] = {}  # hosted plans (serve/plan.py)
         self._plan_cache: Dict[str, object] = {}
+        # authenticated identity: when a secret is set, every mutating or
+        # gated verb requires a valid HS256 JWT and the acting user is
+        # the token's ``sub`` — client-asserted ``user`` fields are then
+        # ignored (reference JWT auth, model_centric/routes.py:37-90)
+        self.auth_secret = auth_secret
+        # hosted-model replica slots (--num_replicas fault tolerance,
+        # reference Node/__main__.py:44-49): inference fails over to the
+        # next healthy replica
+        self.num_replicas = max(1, int(num_replicas))
+        self.replicas: Dict[str, list] = {}
+        # model-centric FL processes (serve/model_centric.py)
+        self.fl_processes: Dict[str, object] = {}
+        # disk-backed warehouse: hosted state survives restart
+        # (restored below, once the ACL map exists)
+        self.warehouse = None
+        if storage_dir:
+            from primia_tpu.serve.warehouse import Warehouse
+
+            self.warehouse = Warehouse(storage_dir)
         # per-tag allowed-users gate — the PrivateTensor role
         # (syft/.../interpreters/private.py): an object hosted with an
         # allowed_users list is invisible to and unfetchable by others
@@ -69,6 +91,8 @@ class GridNode:
             self.channels = 1 if not self.args.pretrained else 3
         else:
             self.args = None
+        if self.warehouse is not None:
+            self._restore_from_warehouse()
         if data_directory:
             self._host_data(Path(data_directory), mean_std_file)
 
@@ -96,16 +120,82 @@ class GridNode:
             self.store["#datamean"] = np.asarray(mean)
             self.store["#datastd"] = np.asarray(std)
 
+    def _restore_from_warehouse(self):
+        """Reload persisted objects/models/plans/FL processes at boot
+        (the restart contract; reference SQLAlchemy warehouse,
+        ``Node/app/main/core/``)."""
+        from primia_tpu.serve.model_centric import FLProcess
+
+        for tag, (arr, users) in self.warehouse.load_objects().items():
+            self.store[tag] = arr
+            if users:
+                self.acl[tag] = frozenset(users)
+        for name in self.warehouse.list_models():
+            payload, meta = self.warehouse.get_model(name)
+            self.models[name] = {**payload, **meta,
+                                 "mean": np.asarray(payload["mean"]),
+                                 "std": np.asarray(payload["std"])}
+            self.replicas[name] = [
+                {"healthy": True} for _ in range(self.num_replicas)]
+        for name in self.warehouse.list_plans():
+            self.plans[name] = self.warehouse.get_plan(name)
+        for name in self.warehouse.list_processes():
+            state, payload = self.warehouse.get_process(name)
+            self.fl_processes[name] = FLProcess.from_state(
+                state, payload["params"], payload.get("plan_blob"))
+
     # ------------------------------------------------------------ handlers
+
+    def _authenticate(self, msg: dict):
+        """Returns JWT claims when auth is enabled (raising on bad or
+        missing tokens for gated verbs), else None."""
+        from primia_tpu.serve.auth import AuthError, verify_token
+
+        if self.auth_secret is None:
+            return None
+        token = msg.get("token")
+        if not token:
+            raise AuthError("authentication required")
+        return verify_token(self.auth_secret, token)
 
     def _permitted(self, tag: str, msg: dict) -> bool:
         """allowed-users gate (reference PrivateTensor ``allowed_users``
-        + GetNotPermittedError semantics)."""
+        + GetNotPermittedError semantics). With auth enabled the acting
+        user is the verified token subject, not a client-asserted field."""
         allowed = self.acl.get(tag)
-        return allowed is None or msg.get("user") in allowed
+        if allowed is None:
+            return True
+        if self.auth_secret is not None:
+            from primia_tpu.serve.auth import AuthError
+
+            try:
+                claims = self._authenticate(msg)
+            except AuthError:
+                return False
+            return claims["sub"] in allowed
+        return msg.get("user") in allowed
+
+    def _require(self, msg: dict, capability: str):
+        """Auth-gate a verb on a role capability when auth is enabled."""
+        from primia_tpu.serve.auth import require
+
+        claims = self._authenticate(msg)
+        if claims is not None:
+            require(claims, capability)
+        return claims
 
     def handle(self, msg: dict) -> dict:
+        from primia_tpu.serve.auth import AuthError
+
+        try:
+            return self._dispatch(msg)
+        except AuthError as e:
+            return {"error": f"auth: {e}"}
+
+    def _dispatch(self, msg: dict) -> dict:
         op = msg.get("type")
+        if op is not None and str(op).startswith("fl_"):
+            return self._handle_model_centric(op, msg)
         if op == "status":
             return {"id": self.id, "tags": sorted(
                 t for t in self.store if self._permitted(t, msg))}
@@ -121,11 +211,15 @@ class GridNode:
                 return {"error": f"no object tagged {tag}"}
             return {"tag": tag, "array": self.store[tag]}
         if op == "load_data":
+            self._require(msg, "host")
             self.store[msg["tag"]] = msg["array"]
             if msg.get("allowed_users"):
                 self.acl[msg["tag"]] = frozenset(msg["allowed_users"])
             else:
                 self.acl.pop(msg["tag"], None)
+            if self.warehouse is not None:
+                self.warehouse.put_object(
+                    msg["tag"], msg["array"], msg.get("allowed_users"))
             return {"ok": True}
         if op == "delete_obj":
             tag = msg["tag"]
@@ -135,6 +229,8 @@ class GridNode:
                 return {"error": f"no object tagged {tag}"}
             self.store.pop(tag, None)
             self.acl.pop(tag, None)
+            if self.warehouse is not None:
+                self.warehouse.delete_object(tag)
             return {"ok": True}
         if op == "get_data_shares":
             tag = msg.get("tag", "#inference_data")
@@ -144,16 +240,39 @@ class GridNode:
         if op == "train_round":
             return self._train_round(msg)
         if op == "host_model":
+            self._require(msg, "host")
             return self._host_model(msg)
         if op == "list_models":
             return {"models": sorted(self.models)}
         if op == "delete_model":
+            self._require(msg, "host")
             self.models.pop(msg["name"], None)
+            self.replicas.pop(msg["name"], None)
+            if self.warehouse is not None:
+                self.warehouse.delete_model(msg["name"])
             return {"ok": True}
         if op == "run_inference":
             return self._run_inference(msg)
+        if op == "replica_status":
+            name = msg["name"]
+            if name not in self.replicas:
+                return {"error": f"no model named {name!r}"}
+            return {"name": name, "replicas": self.replicas[name]}
+        if op == "set_replica_health":
+            # admin/fault-injection hook (reference replicas fail when
+            # their process dies; here health is an explicit flag)
+            self._require(msg, "admin")
+            name, idx = msg["name"], int(msg["replica"])
+            if name not in self.replicas or not (
+                    0 <= idx < len(self.replicas[name])):
+                return {"error": "no such replica"}
+            self.replicas[name][idx]["healthy"] = bool(msg["healthy"])
+            return {"ok": True}
         if op == "host_plan":
+            self._require(msg, "host")
             self.plans[msg["name"]] = msg["blob"]
+            if self.warehouse is not None:
+                self.warehouse.put_plan(msg["name"], msg["blob"])
             return {"ok": True, "name": msg["name"]}
         if op == "list_plans":
             return {"plans": sorted(self.plans)}
@@ -165,6 +284,54 @@ class GridNode:
             return {"name": msg["name"], "blob": self.plans[msg["name"]]}
         if op == "run_plan":
             return self._run_plan(msg)
+        return {"error": f"unknown message type {op!r}"}
+
+    # ------------------------------------------- model-centric FL cycle
+    # Reference: Node/app/main/routes/model_centric/routes.py:37-471
+    # (/host-training, /cycle-request, /get-model, /get-plan, /report).
+
+    def _persist_process(self, proc):
+        if self.warehouse is not None:
+            self.warehouse.put_process(
+                proc.name, proc.to_state(),
+                {"params": proc.params, "plan_blob": proc.plan_blob})
+
+    def _handle_model_centric(self, op: str, msg: dict) -> dict:
+        from primia_tpu.serve.model_centric import FLProcess
+
+        if op == "fl_host_training":
+            claims = self._require(msg, "host")
+            proc = FLProcess(
+                msg["name"], msg["params"],
+                plan_blob=msg.get("plan_blob"),
+                client_config=msg.get("client_config"),
+                server_config=msg.get("server_config"),
+            )
+            self.fl_processes[msg["name"]] = proc
+            self._persist_process(proc)
+            return {"ok": True, "name": proc.name, "version": proc.version}
+        name = msg.get("name")
+        proc = self.fl_processes.get(name)
+        if proc is None:
+            return {"error": f"no FL process named {name!r}"}
+        if op == "fl_cycle_request":
+            claims = self._require(msg, "fl_participate")
+            worker = claims["sub"] if claims else msg.get("worker_id", "anon")
+            out = proc.request_cycle(worker, msg.get("model_version"))
+            self._persist_process(proc)
+            return out
+        if op == "fl_get_model":
+            return proc.get_model(msg.get("request_key", ""))
+        if op == "fl_get_plan":
+            return proc.get_plan(msg.get("request_key", ""))
+        if op == "fl_report":
+            out = proc.report(msg.get("request_key", ""),
+                              {k: np.asarray(v)
+                               for k, v in msg.get("diff", {}).items()})
+            self._persist_process(proc)
+            return out
+        if op == "fl_status":
+            return proc.status()
         return {"error": f"unknown message type {op!r}"}
 
     def _run_plan(self, msg: dict) -> dict:
@@ -206,7 +373,19 @@ class GridNode:
             "allow_download": bool(msg.get("allow_download", False)),
             "allow_remote_inference": bool(msg.get("allow_remote_inference", True)),
         }
-        return {"ok": True, "name": name}
+        # replica slots for serving fault tolerance (--num_replicas)
+        self.replicas[name] = [
+            {"healthy": True} for _ in range(self.num_replicas)]
+        if self.warehouse is not None:
+            m = self.models[name]
+            self.warehouse.put_model(
+                name,
+                {"params": m["params"], "model_state": m["model_state"],
+                 "mean": m["mean"], "std": m["std"]},
+                {"args": m["args"], "allow_download": m["allow_download"],
+                 "allow_remote_inference": m["allow_remote_inference"]},
+            )
+        return {"ok": True, "name": name, "replicas": self.num_replicas}
 
     def _run_inference(self, msg: dict) -> dict:
         import jax
@@ -221,6 +400,11 @@ class GridNode:
         m = self.models[name]
         if not m["allow_remote_inference"]:
             return {"error": f"model {name!r} does not allow remote inference"}
+        # replica failover: serve from the first healthy replica slot
+        slots = self.replicas.get(name, [{"healthy": True}])
+        serving = next((i for i, r in enumerate(slots) if r["healthy"]), None)
+        if serving is None:
+            return {"error": f"model {name!r}: all replicas unhealthy"}
         if "images" in msg:
             images = np.asarray(msg["images"])
         elif "#inference_data" in self.store:
@@ -247,7 +431,8 @@ class GridNode:
                 predict = build_predict_step(model_def, args, m["mean"], m["std"])
             m["_predict_cache"][cache_key] = predict
         logits = np.asarray(predict(m["params"], m["model_state"], images))
-        return {"logits": logits, "predictions": logits.argmax(1).astype(np.int32)}
+        return {"logits": logits, "predictions": logits.argmax(1).astype(np.int32),
+                "replica": serving}
 
     def _get_data_shares(self, msg: dict) -> dict:
         """Fixed-point encode + 2-party split of a hosted tensor; only
@@ -473,8 +658,22 @@ def main(argv=None):
     parser.add_argument("--data_directory", type=str, default=None)
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--mean_std_file", type=str, default=None)
+    parser.add_argument("--storage_dir", type=str, default=None,
+                        help="disk-backed warehouse: hosted models/plans/"
+                             "objects survive restart")
+    parser.add_argument("--num_replicas", type=int, default=1,
+                        help="hosted-model replica slots (reference "
+                             "Node/__main__.py:44-49)")
     a = parser.parse_args(argv)
-    node = GridNode(a.id, a.data_directory, a.config, a.mean_std_file)
+    # auth secret via env, like the reference's SECRET_KEY
+    # (Node/__main__.py:22-49); unset -> unauthenticated node
+    import os
+
+    secret = os.environ.get("SECRET_KEY")
+    node = GridNode(a.id, a.data_directory, a.config, a.mean_std_file,
+                    storage_dir=a.storage_dir,
+                    auth_secret=secret.encode() if secret else None,
+                    num_replicas=a.num_replicas)
     server = NodeServer(node, a.host, a.port).start()
     print(f"node {a.id} serving ws://{a.host}:{a.port} "
           f"(http fallback :{a.port + 1000})", flush=True)

@@ -102,3 +102,79 @@ class Plan:
         flat = jax.tree.flatten(args)[0]
         outs = self.run_flat(flat)
         return outs[0] if len(outs) == 1 else outs
+
+
+class Protocol:
+    """A multi-role computation: an ordered pipeline of (role, Plan).
+
+    Reference: ``syft/execution/protocol.py:337`` — a Protocol maps
+    roles to Plans, is deployed by assigning each role to a worker, and
+    runs by executing each role's plan and forwarding its outputs as the
+    next role's inputs (the reference's placeholder wiring specialised
+    to the sequential-forwarding case, which is the only wiring its own
+    examples use).
+
+    Deployment maps roles to nodes; ``run`` executes each stage
+    remotely via the grid's ``run_plan`` verb, so each role's plan runs
+    on *its* worker and only the intermediate flat arrays travel.
+    """
+
+    def __init__(self, name: str, stages: Sequence[tuple]):
+        # stages: [(role_name, Plan), ...] executed in order
+        self.name = name
+        self.stages = list(stages)
+        if not self.stages:
+            raise ValueError("a Protocol needs at least one (role, plan) stage")
+        self.assignments: dict = {}
+
+    @property
+    def roles(self) -> List[str]:
+        return [r for r, _ in self.stages]
+
+    # --------------------------------------------------- serialize
+
+    def serialize(self) -> bytes:
+        return pack({
+            "name": self.name,
+            "stages": [{"role": r, "plan": p.serialize()}
+                       for r, p in self.stages],
+        })
+
+    @staticmethod
+    def deserialize(blob: bytes) -> "Protocol":
+        msg = unpack(blob)
+        return Protocol(msg["name"], [
+            (s["role"], Plan.deserialize(s["plan"])) for s in msg["stages"]])
+
+    # ------------------------------------------------------ deploy
+
+    def deploy(self, grid, assignments: dict) -> "Protocol":
+        """Host each role's plan on its assigned node
+        (``{role: node_id}``); returns self for chaining."""
+        missing = set(self.roles) - set(assignments)
+        if missing:
+            raise ValueError(f"unassigned roles: {sorted(missing)}")
+        for role, plan in self.stages:
+            grid.serve_plan(assignments[role], plan)
+        self.assignments = dict(assignments)
+        return self
+
+    # --------------------------------------------------------- run
+
+    def run(self, grid, *args):
+        """Execute the pipeline across the deployed workers: stage i's
+        flat outputs are stage i+1's inputs."""
+        if not self.assignments:
+            raise RuntimeError(f"protocol {self.name!r} is not deployed")
+        flat = [np.asarray(a) for a in jax.tree.leaves(list(args))]
+        for role, plan in self.stages:
+            out = grid.run_remote_plan(self.assignments[role], plan.name, *flat)
+            flat = out if isinstance(out, list) else [out]
+        return flat[0] if len(flat) == 1 else flat
+
+    def run_local(self, *args):
+        """Execute all stages in-process (VirtualWorker analogue)."""
+        flat = [np.asarray(a) for a in jax.tree.leaves(list(args))]
+        for _, plan in self.stages:
+            flat = plan.run_flat(flat)
+        return flat[0] if len(flat) == 1 else flat
