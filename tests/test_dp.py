@@ -1,0 +1,145 @@
+"""DP-SGD step correctness: per-example clipping math, tail handling,
+noise scaling, and RDP accounting.
+
+Reference contract: ``train.py:326-334`` (torchdp PrivacyEngine with
+noise_multiplier=1.3, max_grad_norm=1.0 attached to the optimizer);
+torchdp semantics: clip each per-example grad to max_grad_norm, sum,
+add N(0, sigma^2 I), divide by batch size.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from primia_tpu.config import Arguments
+from primia_tpu.nn import create_model
+from primia_tpu.train import losses
+from primia_tpu.train.dp import build_dp_train_step, rdp_epsilon
+from primia_tpu.train.optim import make_optimizer
+from primia_tpu.train.steps import TrainState
+
+
+def _setup(B=10, noise=0.0, clip=1.0):
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, batch_size=B, optimizer="SGD",
+                     differentially_private=True, noise_multiplier=noise,
+                     max_grad_norm=clip)
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(args)
+    ts = TrainState(params, state, opt.init(params))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (B, 28, 28, 1), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, B, dtype=np.int32))
+    mask = jnp.ones(B, jnp.float32)
+    return args, md, opt, ts, imgs, labels, mask
+
+
+def _manual_dp_grads(md, args, ts, x, labels, clip):
+    """Reference math: per-example grad, clip to ``clip``, sum, /B."""
+    def ex_loss(p, xi, yi):
+        logits, _ = md.forward(p, ts.model_state, xi[None], train=False)
+        return losses.cross_entropy(logits.astype(jnp.float32), yi[None])
+
+    gs = jax.vmap(jax.grad(ex_loss), in_axes=(None, 0, 0))(ts.params, x, labels)
+    sq = sum(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1)
+             for g in jax.tree.leaves(gs))
+    factor = jnp.minimum(1.0, clip / jnp.sqrt(sq + 1e-12))
+    B = x.shape[0]
+    return jax.tree.map(lambda g: jnp.tensordot(factor, g, axes=1) / B, gs)
+
+
+class TestDpStep:
+    def test_matches_manual_clipped_average(self):
+        """sigma=0: the DP step's parameter update equals SGD on the
+        manually clipped-and-averaged per-example gradients."""
+        args, md, opt, ts, imgs, labels, mask = _setup(B=6, noise=0.0, clip=0.05)
+        # bypass augmentation randomness: feed the augmented pixels
+        # through the same path by zeroing all augment toggles (default
+        # Arguments has none set) — augment reduces to crop+normalize
+        step = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                   np.array([0.25]), microbatch=3, donate=False)
+        lr = 0.1
+        ts2, loss = step(ts, jax.random.PRNGKey(1), imgs, labels, mask, lr)
+
+        from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+        x = build_augment_fn(AugmentConfig.from_args(args),
+                             np.array([0.5]), np.array([0.25]), 1)(
+            jax.random.split(jax.random.PRNGKey(1))[0], imgs)
+        want = _manual_dp_grads(md, args, ts, x, labels, clip=0.05)
+        for p0, p1, g in zip(jax.tree.leaves(ts.params),
+                             jax.tree.leaves(ts2.params),
+                             jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
+                rtol=2e-2, atol=2e-4)
+
+    def test_tail_examples_not_dropped(self):
+        """B=10 with microbatch 4 must give the same update as
+        microbatch 10 (regression: the old chunking silently truncated
+        the tail examples)."""
+        args, md, opt, ts, imgs, labels, mask = _setup(B=10, noise=0.0)
+        s_a = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                  np.array([0.25]), microbatch=4, donate=False)
+        s_b = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                  np.array([0.25]), microbatch=10, donate=False)
+        ts_a, loss_a = s_a(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        ts_b, loss_b = s_b(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ts_a.params),
+                        jax.tree.leaves(ts_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_masked_rows_contribute_nothing(self):
+        args, md, opt, ts, imgs, labels, mask = _setup(B=8, noise=0.0)
+        step = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                   np.array([0.25]), microbatch=4, donate=False)
+        m = mask.at[6:].set(0.0)
+        ts_m, _ = step(ts, jax.random.PRNGKey(3), imgs, labels, m, 0.05)
+        # corrupt the masked rows: result must be identical
+        imgs2 = imgs.at[6:].set(255 - imgs[6:])
+        ts_c, _ = step(ts, jax.random.PRNGKey(3), imgs2, labels, m, 0.05)
+        for a, b in zip(jax.tree.leaves(ts_m.params),
+                        jax.tree.leaves(ts_c.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_noise_scales_with_sigma(self):
+        """Same key, sigma 0 vs large: update difference reflects the
+        injected Gaussian (std = sigma*clip/B on the averaged grad)."""
+        args, md, opt, ts, imgs, labels, mask = _setup(B=8, noise=0.0)
+        argsN = Arguments(**{**args.to_dict(), "noise_multiplier": 5.0})
+        s0 = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                 np.array([0.25]), microbatch=8, donate=False)
+        sN = build_dp_train_step(md, opt, argsN, np.array([0.5]),
+                                 np.array([0.25]), microbatch=8, donate=False)
+        t0, _ = s0(ts, jax.random.PRNGKey(4), imgs, labels, mask, 1.0)
+        tN, _ = sN(ts, jax.random.PRNGKey(4), imgs, labels, mask, 1.0)
+        diffs = np.concatenate([
+            (np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree.leaves(t0.params),
+                            jax.tree.leaves(tN.params))])
+        expected_std = 5.0 * 1.0 / 8.0  # sigma*clip/B
+        assert 0.5 * expected_std < diffs.std() < 1.5 * expected_std
+
+
+class TestRdpAccounting:
+    def test_epsilon_grows_with_steps(self):
+        e1, _ = rdp_epsilon(noise_multiplier=1.3, sample_rate=0.04, steps=100)
+        e2, _ = rdp_epsilon(noise_multiplier=1.3, sample_rate=0.04, steps=1000)
+        assert 0 < e1 < e2
+
+    def test_epsilon_shrinks_with_noise(self):
+        lo, _ = rdp_epsilon(noise_multiplier=2.0, sample_rate=0.04, steps=500)
+        hi, _ = rdp_epsilon(noise_multiplier=0.8, sample_rate=0.04, steps=500)
+        assert lo < hi
+
+    def test_full_batch_matches_gaussian(self):
+        """sample_rate=1 must reduce to the plain Gaussian mechanism
+        RDP alpha/(2 sigma^2)."""
+        from primia_tpu.train.dp import rdp_sampled_gaussian
+
+        assert rdp_sampled_gaussian(1.0, 2.0, 8) == pytest.approx(8 / (2 * 4.0))
