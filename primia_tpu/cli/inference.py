@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Perform encrypted inference",
     )
     parser.add_argument(
+        "--protocol", type=str, default="snn", choices=("snn", "fss"),
+        help="MPC comparison protocol for encrypted inference: snn "
+             "(SecureNN, mesh-colocated default) or fss (AriaNN DCF, "
+             "the reference's default — one online round, tiled keygen)",
+    )
+    parser.add_argument(
         "--websockets_config", default=None,
         help="csv file with id/host/port rows for data_owner, model_owner "
         "and crypto_provider; if not passed, the simulated on-device "
@@ -90,6 +96,7 @@ def run(cmd_args) -> dict:
         predict = build_encrypted_predict(
             model_def, args, mean, std,
             precision_fractional=args.precision_fractional or 16,
+            protocol=cmd_args.protocol,
         )
     else:
         predict = build_predict_step(model_def, args, mean, std)

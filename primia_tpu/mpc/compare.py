@@ -82,9 +82,41 @@ def msb(x: AShare, ck: CompareKeys) -> AShare:
     return AShare(jnp.stack([vq0 - vp0, vq1 - vp1]) + ck.c.data)
 
 
-def sign_shares(key, x: AShare) -> AShare:
-    """Dealer + online in one call: shares of 1{x < 0}, any shape."""
+def sign_shares(key, x: AShare, tile: int = None) -> AShare:
+    """Dealer + online in one call: shares of 1{x < 0}, any shape.
+
+    Large batches are evaluated in fixed-size tiles via ``lax.map``:
+    DCF key material is ~1 KB per element (32 levels of correction
+    words), so a whole-ResNet-relu batch (tens of millions of elements)
+    can neither be materialized nor compiled as one program — the exact
+    ceiling the round-1 build hit at 224 px (the reference batches its
+    keygen the same way for >50k values, ``fss.py:42-95``). Only one
+    tile's keys are ever live; the map body compiles once.
+
+    ``tile`` defaults to $PRIMIA_FSS_TILE or 2^16 elements (~140 MB of
+    transient key material per tile).
+    """
+    if tile is None:
+        import os
+
+        tile = int(os.environ.get("PRIMIA_FSS_TILE", 1 << 16))
     flat = S.reshape(x, (-1,))
-    ck = gen_compare(key, flat.shape[0])
-    s = msb(flat, ck)
-    return S.reshape(s, x.shape)
+    n = flat.shape[0]
+    if n <= tile:
+        ck = gen_compare(key, n)
+        return S.reshape(msb(flat, ck), x.shape)
+
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    data = jnp.pad(flat.data, ((0, 0), (0, pad)))  # zero shares: sign(0)=0
+    tiles = jnp.moveaxis(data.reshape(2, n_tiles, tile), 1, 0)  # (T, 2, tile)
+    keys = jax.random.split(key, n_tiles)
+
+    def per_tile(args):
+        k, xt = args
+        ck = gen_compare(k, tile)
+        return msb(AShare(xt), ck).data  # (2, tile)
+
+    out = jax.lax.map(per_tile, (keys, tiles))  # (T, 2, tile)
+    out = jnp.moveaxis(out, 0, 1).reshape(2, n_tiles * tile)[:, :n]
+    return S.reshape(AShare(out), x.shape)

@@ -351,3 +351,23 @@ def test_to_limbs_roundtrip():
         limbs[i].astype(jnp.int64) << jnp.int64(8 * i) for i in range(8)
     )
     np.testing.assert_array_equal(np.asarray(back), np.asarray(v))
+
+
+def test_fss_sign_shares_tiled_matches_untiled_semantics():
+    """Tiled (lax.map) FSS comparison equals the plain-sign ground
+    truth, including the padded final tile — the mechanism that lets
+    protocol='fss' scale to whole-ResNet relu batches (round-1 ceiling:
+    key material is ~1KB/element, so one-program eval at 224px could
+    neither compile nor fit)."""
+    from primia_tpu.mpc.compare import sign_shares
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(-(2**30), 2**30, 1301).astype(np.int64)
+    x = S.share(jax.random.PRNGKey(3), jnp.asarray(v))
+    s = sign_shares(jax.random.PRNGKey(4), x, tile=256)  # 6 tiles, padded
+    np.testing.assert_array_equal(
+        np.asarray(S.reconstruct(s)), (v < 0).astype(np.int64))
+    # single-tile fast path unchanged
+    s1 = sign_shares(jax.random.PRNGKey(4), x, tile=4096)
+    np.testing.assert_array_equal(
+        np.asarray(S.reconstruct(s1)), (v < 0).astype(np.int64))
