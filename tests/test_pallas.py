@@ -49,3 +49,38 @@ def test_noise_pallas_distribution():
     assert abs(n.std() - 1.0) < 0.05
     # rows get distinct streams
     assert not np.array_equal(np.asarray(out)[0], np.asarray(out)[1])
+
+
+class TestClahePallas:
+    def test_matches_xla_formulation(self):
+        from primia_tpu.ops.image import clahe_mxu
+        from primia_tpu.ops.pallas_clahe import clahe_pallas
+
+        rng = np.random.default_rng(3)
+        imgs = rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32)
+        ref = np.asarray(clahe_mxu(jnp.asarray(imgs), 1.0, 8))
+        got = np.asarray(clahe_pallas(jnp.asarray(imgs), 1.0, 8, interpret=True))
+        # only freedom is f32 summation order in the CDF -> sub-level
+        np.testing.assert_allclose(got, ref, atol=0.51 / 255.0)
+        assert (np.abs(got - ref) * 255 > 0.01).mean() < 1e-3
+
+    def test_multichannel_and_odd_size(self):
+        """Non-tile-divisible resolution exercises the edge-pad path."""
+        from primia_tpu.ops.image import clahe_mxu
+        from primia_tpu.ops.pallas_clahe import clahe_pallas
+
+        rng = np.random.default_rng(4)
+        imgs = rng.uniform(0, 1, (2, 100, 100, 3)).astype(np.float32)
+        ref = np.asarray(clahe_mxu(jnp.asarray(imgs), 2.0, 8))
+        got = np.asarray(clahe_pallas(jnp.asarray(imgs), 2.0, 8, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=0.51 / 255.0)
+
+    def test_flat_image_is_stable(self):
+        """A constant image: clipped histogram redistribution must not
+        produce NaNs or drift (limit floor kicks in)."""
+        from primia_tpu.ops.pallas_clahe import clahe_pallas
+
+        imgs = np.full((1, 64, 64, 1), 0.5, np.float32)
+        out = np.asarray(clahe_pallas(jnp.asarray(imgs), 1.0, 8, interpret=True))
+        assert np.isfinite(out).all()
+        assert out.std() < 1e-3  # stays (nearly) flat
