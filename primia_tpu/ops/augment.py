@@ -221,20 +221,21 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # keys between field draws and gates, correlating augmentations.)
         keys = jax.random.split(_fast_prng(key), 64)
 
-        # 1. torchvision RandomAffine. The dense resampler does more
-        # arithmetic than the separable two-pass decomposition but runs
-        # it at ~full MXU utilization as one large matmul, which wins on
-        # TPU (measured 16 ms vs 72 ms at 256x224x224 — the two-pass
-        # form is per-row matvecs the MXU can't tile). ``row_band``
-        # statically bounds the source rows each output chunk touches,
-        # cutting the dominant contraction ~H/band x, exactly.
-        # PRIMIA_TWOPASS_WARP opts into the low-FLOP form (e.g. on CPU).
+        # 1. torchvision RandomAffine. When the config's matrix ranges
+        # are well-conditioned (``twopass_safe``), the warp runs as the
+        # two-pass shear decomposition — on TPU a Pallas lane-gather
+        # kernel (8.4 ms vs 38.3 dense-einsum at (200,224,224,3)); the
+        # XLA einsum form of the same math only wins on low-FLOP
+        # backends (PRIMIA_TWOPASS_WARP opts in there). Unsafe ranges
+        # fall back to the exact dense tent resampler (Pallas on TPU,
+        # ``row_band``-bounded einsum otherwise).
         if cfg.rotation or cfg.translate or cfg.scale or cfg.shear:
             mats = _affine_mats(keys[0], cfg, B)
+            safe = I.twopass_safe(cfg.rotation, cfg.shear, cfg.scale)
             x = I.warp_affine(
                 x, mats,
-                twopass=bool(os.environ.get("PRIMIA_TWOPASS_WARP"))
-                and I.twopass_safe(cfg.rotation, cfg.shear, cfg.scale),
+                twopass=safe and (I.use_pallas_warp() or bool(
+                    os.environ.get("PRIMIA_TWOPASS_WARP"))),
                 row_band=I.affine_row_band(cfg.rotation, cfg.shear,
                                            cfg.scale, R),
             )

@@ -267,6 +267,15 @@ def _use_pallas_resample() -> bool:
     return _use_mxu_resample() and bool(os.environ.get("PRIMIA_PALLAS_AUGMENT"))
 
 
+def use_pallas_warp() -> bool:
+    """Default-on TPU warp kernels (``ops/pallas_tent.py``): the fused
+    tent resampler (25.9 vs 38.3 ms at (200,224,224,3) against the
+    banded einsum — the (B,H,P,C) intermediate stays in VMEM) and the
+    two-pass shear warp (8.4 ms) for well-conditioned affine maps.
+    ``PRIMIA_PALLAS_WARP=0`` falls back to the XLA formulations."""
+    return _use_mxu_resample() and os.environ.get("PRIMIA_PALLAS_WARP", "1") != "0"
+
+
 def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
                 twopass: bool = False,
                 row_band: int | None = None) -> jnp.ndarray:
@@ -277,11 +286,16 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
     ``twopass``: use the 224x-lower-FLOP shear decomposition — only
     pass True when ``twopass_safe`` holds for the matrix distribution
     (the caller knows the static config ranges; this function sees
-    traced values). NOTE: measured SLOWER on TPU than the dense path
-    (per-row matvecs vs one MXU-saturating matmul); it wins on
-    low-FLOP backends.
+    traced values). As XLA einsums the two-pass form loses on TPU
+    (per-row matvecs the MXU can't tile), but as a Pallas lane-gather
+    kernel it is the fastest warp by 4.6x (8.4 ms vs 38.3 at
+    (200,224,224,3)) and is the default TPU path when safe.
     """
     if twopass:
+        if use_pallas_warp():
+            from primia_tpu.ops.pallas_tent import warp_affine_shear_pallas
+
+            return warp_affine_shear_pallas(imgs, mats)
         return warp_affine_twopass(imgs, mats)
     B, H, W, C = imgs.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
@@ -296,6 +310,10 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
         from primia_tpu.ops.pallas_kernels import resample_bilinear_pallas
 
         return resample_bilinear_pallas(imgs, sy, sx)
+    if use_pallas_warp():
+        from primia_tpu.ops.pallas_tent import resample_tent_pallas
+
+        return resample_tent_pallas(imgs, sy, sx)
     if _use_mxu_resample():
         return resample_bilinear_mxu(imgs, sy, sx, row_band=row_band)
     return jax.vmap(bilinear_sample)(imgs, sy, sx)
@@ -314,6 +332,10 @@ def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     sy, sx = ys[None] + dy, xs[None] + dx
+    if use_pallas_warp():
+        from primia_tpu.ops.pallas_tent import resample_tent_pallas
+
+        return resample_tent_pallas(imgs, sy, sx)
     if _use_mxu_resample():
         band = None
         if max_dy is not None:

@@ -84,3 +84,69 @@ class TestClahePallas:
         out = np.asarray(clahe_pallas(jnp.asarray(imgs), 1.0, 8, interpret=True))
         assert np.isfinite(out).all()
         assert out.std() < 1e-3  # stays (nearly) flat
+
+
+class TestTentPallas:
+    """ops/pallas_tent.py — the default TPU warp kernels."""
+
+    def test_tent_matches_gather(self):
+        from primia_tpu.ops.image import bilinear_sample
+        from primia_tpu.ops.pallas_tent import resample_tent_pallas
+
+        B, H, W, C = 2, 32, 40, 3
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        key = jax.random.PRNGKey(0)
+        ys = jax.random.uniform(key, (B, H, W), minval=-3.0, maxval=H + 2.0)
+        xs = jax.random.uniform(jax.random.fold_in(key, 1), (B, H, W),
+                                minval=-3.0, maxval=W + 2.0)
+        got = np.asarray(resample_tent_pallas(imgs, ys, xs, interpret=True))
+        want = np.asarray(jax.vmap(bilinear_sample)(imgs, ys, xs))
+        np.testing.assert_allclose(got, want, atol=6e-3)  # bf16 weights
+
+    def test_tent_nonsquare_output_and_chunk_pad(self):
+        """Ho*Wo not a multiple of the 128-lane chunk exercises the
+        coordinate padding (pad pixels must not pollute real ones)."""
+        from primia_tpu.ops.image import bilinear_sample
+        from primia_tpu.ops.pallas_tent import resample_tent_pallas
+
+        B, H, W = 1, 24, 24
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.random((B, H, W, 1), dtype=np.float32))
+        key = jax.random.PRNGKey(2)
+        ys = jax.random.uniform(key, (B, 11, 13), minval=0.0, maxval=H - 1.0)
+        xs = jax.random.uniform(jax.random.fold_in(key, 1), (B, 11, 13),
+                                minval=0.0, maxval=W - 1.0)
+        got = np.asarray(resample_tent_pallas(imgs, ys, xs, interpret=True))
+        want = np.asarray(jax.vmap(bilinear_sample)(imgs, ys, xs))
+        np.testing.assert_allclose(got, want, atol=6e-3)
+
+    def test_shear_matches_twopass(self):
+        """The Pallas lane-gather two-pass warp implements exactly the
+        warp_affine_twopass math (same conditioning contract)."""
+        from primia_tpu.ops.image import warp_affine_twopass
+        from primia_tpu.ops.pallas_tent import warp_affine_shear_pallas
+
+        B, H, W, C = 2, 32, 32, 3
+        rng = np.random.default_rng(2)
+        imgs = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        mats = []
+        for b, (deg, s, tx, ty) in enumerate(
+                [(7.0, 1.06, 1.5, -2.0), (-4.0, 0.93, -0.5, 3.0)]):
+            a = np.deg2rad(deg)
+            mats.append(np.array(
+                [[np.cos(a) / s, -np.sin(a) / s, tx],
+                 [np.sin(a) / s, np.cos(a) / s, ty]], np.float32))
+        mats = jnp.asarray(np.stack(mats))
+        got = np.asarray(warp_affine_shear_pallas(imgs, mats, interpret=True))
+        want = np.asarray(warp_affine_twopass(imgs, mats))
+        np.testing.assert_allclose(got, want, atol=8e-3)  # bf16 pixels
+
+    def test_shear_identity_is_exact(self):
+        from primia_tpu.ops.pallas_tent import warp_affine_shear_pallas
+
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+        eye = jnp.asarray(np.array([[[1, 0, 0], [0, 1, 0]]], np.float32))
+        got = np.asarray(warp_affine_shear_pallas(imgs, eye, interpret=True))
+        np.testing.assert_allclose(got, np.asarray(imgs), atol=4e-3)
