@@ -335,7 +335,9 @@ def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
     if use_pallas_warp():
         from primia_tpu.ops.pallas_tent import resample_tent_pallas
 
-        return resample_tent_pallas(imgs, sy, sx)
+        return resample_tent_pallas(
+            imgs, sy, sx,
+            max_dy=float(max_dy) if max_dy is not None else None)
     if _use_mxu_resample():
         band = None
         if max_dy is not None:

@@ -47,34 +47,56 @@ from jax._src.config import enable_x64 as _x64_scope
 _I0 = np.int32(0)
 
 
-def _tent_kernel(img_ref, ys_ref, xs_ref, out_ref, *, H, W, C, Pp):
+def _tent_kernel(img_ref, ys_ref, xs_ref, out_ref, *, H, W, C, Pp,
+                 band=None):
     """img: (1, C, H, W) bf16; ys/xs: (1, 1, 1, Pp) f32 source coords
     for one flattened chunk of output pixels (pad pixels carry coord -2
     — zero tent weight); out: (1, 1, C, Pp) in the output dtype.
 
     One (H, W) x (W, Pp) matmul per channel — all of the chunk's output
-    pixels share it, so N is large enough to keep the MXU busy."""
+    pixels share it, so N is large enough to keep the MXU busy.
+
+    ``band``: optional STATIC (lo, Hb, rows_per_chunk) guarantee from
+    the caller that chunk k (= minor grid index) only samples source
+    rows in [k*rows_per_chunk - lo, same + Hb): the row contraction then
+    runs over a dynamic-sliced band of Hb rows — ~H/Hb fewer MACs,
+    exact under the guarantee (out-of-band samples silently drop, the
+    same contract as ``resample_bilinear_mxu(row_band=...)``)."""
     xr = xs_ref[0, 0]  # (1, Pp) — output pixels along lanes
     yr = ys_ref[0, 0]
     iv = jax.lax.broadcasted_iota(jnp.int32, (W, Pp), 0).astype(jnp.float32)
-    iu = jax.lax.broadcasted_iota(jnp.int32, (H, Pp), 0).astype(jnp.float32)
     wxT = jnp.clip(1.0 - jnp.abs(xr - iv), 0.0, 1.0).astype(jnp.bfloat16)
+    if band is not None:
+        lo, Hb, rows_per_chunk = band
+        base = jnp.clip(pl.program_id(1) * rows_per_chunk - lo, 0, H - Hb)
+        iu = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (Hb, Pp), 0).astype(jnp.float32)
+    else:
+        base, Hb = None, H
+        iu = jax.lax.broadcasted_iota(jnp.int32, (H, Pp), 0).astype(jnp.float32)
     wyT = jnp.clip(1.0 - jnp.abs(yr - iu), 0.0, 1.0)
     for c in range(C):
+        img_c = img_ref[0, c] if base is None else img_ref[0, c, pl.ds(base, Hb), :]
         inner = jax.lax.dot(
-            img_ref[0, c], wxT, preferred_element_type=jnp.float32
-        )  # (H, Pp)
+            img_c, wxT, preferred_element_type=jnp.float32
+        )  # (Hb, Pp)
         out_ref[0, 0, c:c + 1, :] = jnp.sum(
             inner * wyT, axis=0, keepdims=True
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_dy"))
 def resample_tent_pallas(imgs: jnp.ndarray, ys: jnp.ndarray,
                          xs: jnp.ndarray, *,
+                         max_dy: float | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ``resample_bilinear_mxu``: imgs (B, H, W, C),
-    ys/xs (B, Ho, Wo) absolute source coordinates."""
+    ys/xs (B, Ho, Wo) absolute source coordinates.
+
+    ``max_dy``: optional STATIC guarantee that ``|ys - output_row| <=
+    max_dy`` everywhere (the displacement-field warps know their
+    amplitude caps); enables the banded row contraction inside the
+    kernel — exact under the guarantee, ~H/band fewer MACs."""
     with _x64_scope(False):
         B, H, W, C = imgs.shape
         Ho, Wo = ys.shape[1:]
@@ -86,6 +108,18 @@ def resample_tent_pallas(imgs: jnp.ndarray, ys: jnp.ndarray,
         P = Ho * Wo
         budget = (11 << 20) // (2 * W + 8 * H)
         Pc = min(3584, max(128, budget // 128 * 128), -(-P // 128) * 128)
+        band = None
+        if max_dy is not None and Pc >= Wo:
+            # banding needs chunks aligned to whole output rows and to
+            # the 128-lane block grain
+            rows_per_chunk = Pc // Wo
+            if (rows_per_chunk * Wo) % 128 == 0:
+                Pc = rows_per_chunk * Wo
+                lo = int(np.ceil(max_dy)) + 1
+                Hb = rows_per_chunk + 2 * lo + 1
+                Hb = min(H, -(-Hb // 8) * 8)
+                if Hb < H:
+                    band = (lo, Hb, rows_per_chunk)
         n = -(-P // Pc)
         Pp = n * Pc
         # pad coords with -2: zero tent weight -> zero-filled pixels
@@ -98,7 +132,8 @@ def resample_tent_pallas(imgs: jnp.ndarray, ys: jnp.ndarray,
         ysf = ysf.reshape(B, n, 1, Pc)
         xsf = xsf.reshape(B, n, 1, Pc)
         x4 = imgs.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B,C,H,W)
-        kernel = functools.partial(_tent_kernel, H=H, W=W, C=C, Pp=Pc)
+        kernel = functools.partial(_tent_kernel, H=H, W=W, C=C, Pp=Pc,
+                                   band=band)
         out = pl.pallas_call(
             kernel,
             grid=(B, n),

@@ -20,6 +20,20 @@ from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+def _uniform_f32(params) -> bool:
+    """True when every leaf is float32 — the fused flat path applies.
+
+    Per-parameter tree.map updates compile to ~60 tiny fusions whose
+    fixed launch/copy latency dominates (measured 7.8 ms/step of a
+    29 ms ResNet-18 train step on v5e). Raveling params/grads/moments
+    into single vectors runs the same elementwise math as ~3 big
+    HBM-bound fusions (~0.5 ms). Element order is identical, so the
+    torch-parity semantics are unchanged.
+    """
+    return all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
 
 
 class AdamState(NamedTuple):
@@ -45,11 +59,23 @@ class Optimizer(NamedTuple):
 def adam(beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
          weight_decay: float = 0.0) -> Optimizer:
     def init(params):
+        if _uniform_f32(params):
+            flat, _ = ravel_pytree(params)
+            # two distinct buffers — aliasing mu/nu breaks donation
+            return AdamState(jnp.zeros((), jnp.int32),
+                             jnp.zeros_like(flat), jnp.zeros_like(flat))
         z = lambda: jax.tree.map(jnp.zeros_like, params)
         return AdamState(jnp.zeros((), jnp.int32), z(), z())
 
     def update(grads, state, params, lr):
         step = state.step + 1
+        m_l = jax.tree.leaves(state.mu)
+        p_l = jax.tree.leaves(params)
+        fused = len(m_l) == 1 and (len(p_l) != 1 or m_l[0].shape != p_l[0].shape)
+        if fused:
+            flat_p, unravel = ravel_pytree(params)
+            grads, _ = ravel_pytree(grads)
+            params = flat_p
         if weight_decay:
             grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
         mu = jax.tree.map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, grads)
@@ -61,6 +87,8 @@ def adam(beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
             lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
             params, mu, nu,
         )
+        if fused:
+            new_params = unravel(new_params)
         return new_params, AdamState(step, mu, nu)
 
     return Optimizer("Adam", init, update)
@@ -68,10 +96,27 @@ def adam(beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
 
 def sgd(momentum: float = 0.0, weight_decay: float = 0.0) -> Optimizer:
     def init(params):
-        vel = jax.tree.map(jnp.zeros_like, params) if momentum else None
-        return SGDState(jnp.zeros((), jnp.int32), vel)
+        if not momentum:
+            return SGDState(jnp.zeros((), jnp.int32), None)
+        if _uniform_f32(params):
+            flat, _ = ravel_pytree(params)
+            return SGDState(jnp.zeros((), jnp.int32), jnp.zeros_like(flat))
+        return SGDState(jnp.zeros((), jnp.int32),
+                        jax.tree.map(jnp.zeros_like, params))
 
     def update(grads, state, params, lr):
+        unravel = None
+        if momentum:
+            m_l = jax.tree.leaves(state.momentum)
+            p_l = jax.tree.leaves(params)
+            if len(m_l) == 1 and (len(p_l) != 1 or m_l[0].shape != p_l[0].shape):
+                flat_p, unravel = ravel_pytree(params)
+                grads, _ = ravel_pytree(grads)
+                params = flat_p
+        elif len(jax.tree.leaves(params)) > 1 and _uniform_f32(params):
+            flat_p, unravel = ravel_pytree(params)
+            grads, _ = ravel_pytree(grads)
+            params = flat_p
         if weight_decay:
             grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
         if momentum:
@@ -84,6 +129,8 @@ def sgd(momentum: float = 0.0, weight_decay: float = 0.0) -> Optimizer:
             vel = None
             step_dir = grads
         new_params = jax.tree.map(lambda p, d: p - lr * d, params, step_dir)
+        if unravel is not None:
+            new_params = unravel(new_params)
         return new_params, SGDState(state.step + 1, vel)
 
     return Optimizer("SGD", init, update)

@@ -150,3 +150,21 @@ class TestTentPallas:
         eye = jnp.asarray(np.array([[[1, 0, 0], [0, 1, 0]]], np.float32))
         got = np.asarray(warp_affine_shear_pallas(imgs, eye, interpret=True))
         np.testing.assert_allclose(got, np.asarray(imgs), atol=4e-3)
+
+    def test_tent_banded_matches_dense(self):
+        """max_dy banding (the distortion-warp fast path) must be exact
+        when the displacement bound holds."""
+        from primia_tpu.ops.image import bilinear_sample
+        from primia_tpu.ops.pallas_tent import resample_tent_pallas
+
+        B, H, W = 1, 128, 128  # Pc=3584 -> 28-row chunks, Hb=48 < H
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(rng.random((B, H, W, 2), dtype=np.float32))
+        base_y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
+        base_x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None]
+        dy = jnp.asarray(rng.uniform(-5, 5, (B, H, W)).astype(np.float32))
+        dx = jnp.asarray(rng.uniform(-9, 9, (B, H, W)).astype(np.float32))
+        got = np.asarray(resample_tent_pallas(imgs, base_y + dy, base_x + dx,
+                                              max_dy=5.0, interpret=True))
+        want = np.asarray(jax.vmap(bilinear_sample)(imgs, base_y + dy, base_x + dx))
+        np.testing.assert_allclose(got, want, atol=6e-3)
