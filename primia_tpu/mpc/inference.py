@@ -58,10 +58,25 @@ def build_encrypted_predict(
     seed: int = 0,
     swap_pool_relu: bool = True,
     protocol: str = "snn",
+    party_sharding=None,
 ):
     """Returns jitted ``predict(params, model_state, images_u8) -> logits``
     running the forward over secret shares; signature-compatible with the
-    plain ``build_predict_step``."""
+    plain ``build_predict_step``.
+
+    ``party_sharding``: optional ``jax.sharding.Sharding`` whose first
+    partitioned dim is the party axis (e.g. ``NamedSharding(mesh,
+    P("party"))``). The share trees are pinned to it right after the
+    split, and GSPMD propagates the layout through the whole share-space
+    forward — each device computes one party's share locally, and the
+    protocol's openings (Beaver delta/eps, comparison reveals, the final
+    logits reveal — every ``sum`` over the party axis) lower to ICI
+    all-reduces. This is the mesh translation of the reference's
+    party-parallel execution (``additive_shared.py:63-167``: per-party
+    remote calls; SURVEY §2.4), with the wire protocol replaced by XLA
+    collectives. Ring arithmetic is int64, so the distributed reductions
+    are exact — sharded and unsharded logits are bit-identical.
+    """
     frac = precision_fractional
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
@@ -69,13 +84,20 @@ def build_encrypted_predict(
     # max pooling commutes with relu; avg does not — only swap for max
     swap = swap_pool_relu and model_def.pooling == "max"
 
+    def _pin_parties(tree):
+        if party_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, party_sharding), tree
+        )
+
     def predict(params, model_state, images_u8):
         key = jax.random.PRNGKey(seed)
         k_model, k_data, k_online = jax.random.split(key, 3)
 
         # model owner: fold BN, fix precision, share
         folded = fold_bn_tree(params, model_state)
-        shared_params = encode_and_share(k_model, folded, frac)
+        shared_params = _pin_parties(encode_and_share(k_model, folded, frac))
 
         # data owner: preprocess in plaintext, then share
         x = images_u8.astype(jnp.float32) / 255.0
@@ -84,7 +106,7 @@ def build_encrypted_predict(
 
             x = clahe(x, clip_limit=1.0, tiles=8)
         x = (x - mean_a) / std_a
-        x_shared = encode_and_share(k_data, x, frac)
+        x_shared = _pin_parties(encode_and_share(k_data, x, frac))
 
         E = MpcEngine(MpcContext(k_online, frac, protocol=protocol))
         logits_shared, _ = model_def.forward(
