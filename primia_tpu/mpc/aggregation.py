@@ -48,12 +48,19 @@ def _is_count_leaf(path) -> bool:
     return False
 
 
-def secure_fedavg(key, stacked_tree, weights, frac_bits: int = fixed.DEFAULT_FRAC_BITS):
+def secure_fedavg(key, stacked_tree, weights, frac_bits: int = fixed.DEFAULT_FRAC_BITS,
+                  party_sharding=None):
     """Weighted average of node-stacked trees via MPC share-sum.
 
     ``stacked_tree``: pytree with leaves (N_nodes, ...); ``weights``:
     (N_nodes,) floats summing to 1. Returns the aggregated (unstacked)
     tree. Count leaves pass through from node 0.
+
+    ``party_sharding``: optional ``jax.sharding.Sharding`` pinning the
+    leading (2, ...) party axis of each sharing to a mesh axis (same
+    contract as ``mpc.inference.build_encrypted_predict``): the two
+    parties' share-sums then run on separate devices and the reveal is
+    an ICI all-reduce — exact, since ring arithmetic is int64.
     """
     weights = jnp.asarray(weights, jnp.float64)
 
@@ -64,6 +71,9 @@ def secure_fedavg(key, stacked_tree, weights, frac_bits: int = fixed.DEFAULT_FRA
         scaled = jnp.asarray(leaf, jnp.float64) * w
         ring = fixed.encode(scaled, frac_bits)  # (N, ...)
         shared = S.share(jax.random.fold_in(key, _leaf_key(path)), ring)
+        if party_sharding is not None:
+            shared = S.AShare(
+                jax.lax.with_sharding_constraint(shared.data, party_sharding))
         summed = AShareSumNodes(shared)
         revealed = S.reconstruct(summed)
         return fixed.decode(revealed, frac_bits).astype(leaf.dtype)

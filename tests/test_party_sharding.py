@@ -67,6 +67,35 @@ def test_party_sharded_matches_single_device(protocol):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_secure_fedavg_party_sharded():
+    """secure_fedavg(party_sharding=...): the FedAvg share-sum runs one
+    party per device; result must equal the single-device aggregation
+    bit for bit."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    from primia_tpu.mpc.aggregation import secure_fedavg
+
+    rng = np.random.default_rng(5)
+    tree = {
+        "w": jnp.asarray(rng.normal(size=(3, 16, 8)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32)),
+    }
+    weights = np.array([0.5, 0.3, 0.2])
+    key = jax.random.PRNGKey(4)
+
+    ref = jax.jit(lambda k, t: secure_fedavg(k, t, weights))(key, tree)
+
+    mesh = Mesh(np.array(devs[:2]), axis_names=("party",))
+    sh = NamedSharding(mesh, P("party"))
+    got = jax.jit(
+        lambda k, t: secure_fedavg(k, t, weights, party_sharding=sh)
+    )(key, tree)
+
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_party_sharded_on_larger_mesh():
     """(party, data) mesh with the party axis pinned and the data axis
     left to the partitioner — the §2.4 simulated-party topology."""
