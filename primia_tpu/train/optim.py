@@ -33,7 +33,11 @@ def _uniform_f32(params) -> bool:
     HBM-bound fusions (~0.5 ms). Element order is identical, so the
     torch-parity semantics are unchanged.
     """
-    return all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+    leaves = jax.tree.leaves(params)
+    # single-leaf trees gain nothing from raveling, and a 1-D single
+    # leaf would make the flat moments indistinguishable from per-leaf
+    # ones in update()'s detection
+    return len(leaves) > 1 and all(l.dtype == jnp.float32 for l in leaves)
 
 
 class AdamState(NamedTuple):
