@@ -196,8 +196,13 @@ def batch_norm(
             "count": state["count"] + 1,
         }
         return y, new_state
-    inv = params["gamma"] * jax.lax.rsqrt(state["var"] + eps)
-    y = E.affine(x, inv, params["beta"] - state["mean"] * inv)
+    # channel-scalar math in f32, then cast the affine to the activation
+    # dtype — otherwise f32 running stats promote a bfloat16 forward to
+    # f32 and the next conv trips on mixed dtypes (the DP step runs its
+    # per-example forwards in eval mode under the compute dtype)
+    inv = params["gamma"].astype(jnp.float32) * jax.lax.rsqrt(state["var"] + eps)
+    off = params["beta"].astype(jnp.float32) - state["mean"] * inv
+    y = E.affine(x, inv.astype(x.dtype), off.astype(x.dtype))
     return y, state
 
 

@@ -46,6 +46,10 @@ from jax._src.config import enable_x64 as _x64_scope
 
 _I0 = np.int32(0)
 
+# sublane alignment for the banded kernel's dynamic row slice (16 covers
+# both the f32 (8, 128) and packed bf16 (16, 128) tilings)
+_ALIGN = 16
+
 
 def _tent_kernel(img_ref, ys_ref, xs_ref, out_ref, *, H, W, C, Pp,
                  band=None):
@@ -69,6 +73,12 @@ def _tent_kernel(img_ref, ys_ref, xs_ref, out_ref, *, H, W, C, Pp,
     if band is not None:
         lo, Hb, rows_per_chunk = band
         base = jnp.clip(pl.program_id(1) * rows_per_chunk - lo, 0, H - Hb)
+        # Mosaic requires the dynamic sublane offset of the row slice to
+        # be provably tile-aligned; floor-align it (the caller widened Hb
+        # by _ALIGN-1 so the window still covers the band) and assert the
+        # alignment. H - Hb is a multiple of _ALIGN, so the clip bound
+        # survives the floor.
+        base = pl.multiple_of((base // _ALIGN) * _ALIGN, _ALIGN)
         iu = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (Hb, Pp), 0).astype(jnp.float32)
     else:
@@ -116,9 +126,12 @@ def resample_tent_pallas(imgs: jnp.ndarray, ys: jnp.ndarray,
             if (rows_per_chunk * Wo) % 128 == 0:
                 Pc = rows_per_chunk * Wo
                 lo = int(np.ceil(max_dy)) + 1
-                Hb = rows_per_chunk + 2 * lo + 1
-                Hb = min(H, -(-Hb // 8) * 8)
-                if Hb < H:
+                # +(_ALIGN-1): the kernel floor-aligns the slice base to
+                # _ALIGN, shifting the window down by up to _ALIGN-1 rows
+                Hb = rows_per_chunk + 2 * lo + 1 + (_ALIGN - 1)
+                Hb = min(H, -(-Hb // _ALIGN) * _ALIGN)
+                # H % _ALIGN == 0 keeps the clip bound H-Hb aligned too
+                if Hb < H and H % _ALIGN == 0:
                     band = (lo, Hb, rows_per_chunk)
         n = -(-P // Pc)
         Pp = n * Pc

@@ -125,6 +125,29 @@ class TestDpStep:
         expected_std = 5.0 * 1.0 / 8.0  # sigma*clip/B
         assert 0.5 * expected_std < diffs.std() < 1.5 * expected_std
 
+    def test_bf16_compute_dtype_runs(self):
+        """Regression: the BN eval branch (nn/core.py) must keep the
+        activation dtype — f32 running stats used to promote a bfloat16
+        per-example forward to f32 and the next conv raised a mixed-dtype
+        TypeError, so the DP step could not trace on TPU at all."""
+        args = Arguments(model="resnet-18", train_resolution=32,
+                         inference_resolution=32, batch_size=4,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=1.0,
+                         compute_dtype="bfloat16")
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4, dtype=np.int32))
+        step = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                   np.array([0.25]), microbatch=2)
+        ts2, loss = step(ts, jax.random.PRNGKey(1), imgs, labels,
+                         jnp.ones(4, jnp.float32), 1e-3)
+        assert np.isfinite(float(loss))
+
 
 class TestRdpAccounting:
     def test_epsilon_grows_with_steps(self):
