@@ -1,0 +1,19 @@
+import time, os, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/primia_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from primia_tpu.mpc import shares as S
+from primia_tpu.mpc.compare import sign_shares
+from primia_tpu.mpc.shares import AShare
+
+N = 1 << 22  # 4M elements ~ half an image's comparisons
+k = jax.random.PRNGKey(0)
+x = jax.random.randint(k, (N,), -(1<<20), 1<<20, jnp.int64)
+xs = S.share(jax.random.PRNGKey(1), x)
+for tile_log in (16, 17, 18, 19):
+    tile = 1 << tile_log
+    f = jax.jit(lambda key, d: sign_shares(key, AShare(d), tile=tile).data)
+    out = f(jax.random.PRNGKey(2), xs.data); float(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = f(jax.random.PRNGKey(3), xs.data); float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    print(f"tile=2^{tile_log}: {dt*1e3:.0f} ms for 4M elems = {dt/N*1e9:.0f} ns/elem", flush=True)

@@ -69,10 +69,19 @@ def dcf_gen(key, alpha, beta, n_bits: int = N_BITS_DEFAULT) -> DcfKeys:
 
     alpha: (N,) uint32; beta: (N,) int64. Dealer-side (crypto provider).
     """
+    N = jnp.asarray(alpha).shape[0]
+    seeds = jax.random.bits(key, (2, N, 4), jnp.uint32)
+    return dcf_gen_from_seeds(seeds, alpha, beta, n_bits=n_bits)
+
+
+def dcf_gen_from_seeds(seeds, alpha, beta,
+                       n_bits: int = N_BITS_DEFAULT) -> DcfKeys:
+    """``dcf_gen`` with explicit (2, N, 4) uint32 root seeds — the split
+    point the fused Pallas kernel (``ops/pallas_dcf.py``) shares with
+    this reference implementation, so both can be tested seed-for-seed."""
     alpha = jnp.asarray(alpha, jnp.uint32)
     beta = jnp.asarray(beta, jnp.int64)
     N = alpha.shape[0]
-    seeds = jax.random.bits(key, (2, N, 4), jnp.uint32)
 
     abits = jnp.stack(
         [_alpha_bit(alpha, i, n_bits) for i in range(n_bits)]

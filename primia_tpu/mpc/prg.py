@@ -17,9 +17,10 @@ from __future__ import annotations
 from functools import partial
 
 import jax.numpy as jnp
+import numpy as np
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = np.uint32(0x1BD11BDA)  # numpy scalar: not a traced constant (Pallas kernels import this)
 
 
 def threefry2x32(key0, key1, x0, x1):
@@ -66,15 +67,22 @@ def expand(seed):
 
     sL/sR: (..., 4) u32 child seeds; tL/tR: (...,) u32 control bits;
     vL/vR: (..., 2) u32 payload words (64-bit group element each).
-    Total 14 words -> 7 Threefry blocks.
+
+    The control bit is the LSB of each child's first word, which is
+    then zeroed in the seed — i.e. lambda = 127, exactly the
+    reference's FSS parameterization (``fss.py`` uses lambda = 127 for
+    the same reason: the bit spent on t must not stay in the seed).
+    12 words -> 6 Threefry blocks (the DPF path uses only 4: XLA
+    dead-code-eliminates the v blocks, which are independent).
     """
-    w = _blocks(seed, 7)
-    sL = jnp.stack(w[0:4], axis=-1)
-    sR = jnp.stack(w[4:8], axis=-1)
+    w = _blocks(seed, 6)
+    tL = w[0] & jnp.uint32(1)
+    tR = w[4] & jnp.uint32(1)
+    mask = ~jnp.uint32(1)
+    sL = jnp.stack([w[0] & mask, w[1], w[2], w[3]], axis=-1)
+    sR = jnp.stack([w[4] & mask, w[5], w[6], w[7]], axis=-1)
     vL = jnp.stack([w[8], w[9]], axis=-1)
     vR = jnp.stack([w[10], w[11]], axis=-1)
-    tL = w[12] & jnp.uint32(1)
-    tR = w[13] & jnp.uint32(1)
     return sL, tL, vL, sR, tR, vR
 
 

@@ -168,3 +168,48 @@ class TestTentPallas:
                                               max_dy=5.0, interpret=True))
         want = np.asarray(jax.vmap(bilinear_sample)(imgs, base_y + dy, base_x + dx))
         np.testing.assert_allclose(got, want, atol=6e-3)
+
+
+class TestDcfFusedPallas:
+    """Fused DCF gen+eval kernel (ops/pallas_dcf.py) vs the XLA scan
+    formulation it replaces — must be bit-identical (same Threefry PRG,
+    same seed layout), not just functionally equal."""
+
+    def test_bit_identical_to_scan_path(self):
+        import jax
+        import jax.numpy as jnp
+        from primia_tpu.mpc.dcf import dcf_eval, dcf_gen_from_seeds
+        from primia_tpu.ops.pallas_dcf import dcf_sign_fused
+
+        rng = np.random.default_rng(3)
+        n = 300  # exercises padding to the 4096-element block
+        seeds = jax.random.bits(jax.random.PRNGKey(7), (2, n, 4), jnp.uint32)
+        alpha = jnp.asarray(rng.integers(0, 1 << 31, n, dtype=np.uint32))
+        x = jnp.asarray(rng.integers(0, 1 << 31, n, dtype=np.uint32))
+        c = jnp.asarray(rng.integers(0, 2, n, dtype=np.uint32))
+        beta = 1 - 2 * c.astype(jnp.int64)
+
+        keys = dcf_gen_from_seeds(seeds, alpha, beta, n_bits=31)
+        ref = jnp.stack([dcf_eval(0, keys, x, n_bits=31),
+                         dcf_eval(1, keys, x, n_bits=31)])
+        got = dcf_sign_fused(seeds, alpha, c, x, interpret=True)
+        assert bool(jnp.all(got == ref))
+        # and the reconstruction is the DCF contract itself
+        tot = np.asarray(got[0] + got[1])
+        expect = np.where(np.asarray(x) < np.asarray(alpha),
+                          1 - 2 * np.asarray(c).astype(np.int64), 0)
+        assert (tot == expect).all()
+
+    def test_boundary_points(self):
+        import jax
+        import jax.numpy as jnp
+        from primia_tpu.ops.pallas_dcf import dcf_sign_fused
+
+        # x == alpha (strict <), x = 0, alpha = 0, max domain values
+        alpha = jnp.asarray([5, 0, (1 << 31) - 1, 7, 7], jnp.uint32)
+        x = jnp.asarray([5, 0, 0, 6, 8], jnp.uint32)
+        c = jnp.zeros(5, jnp.uint32)
+        seeds = jax.random.bits(jax.random.PRNGKey(1), (2, 5, 4), jnp.uint32)
+        got = dcf_sign_fused(seeds, alpha, c, x, interpret=True)
+        tot = np.asarray(got[0] + got[1])
+        assert (tot == np.array([0, 0, 1, 1, 0])).all()
