@@ -143,13 +143,16 @@ def _lut_kernel(xt_ref, xtT_ref, luts_ref, *, T2p, P, Ppad, padP, limit):
             jnp.round(cdf / P * 255.0), 0.0, 255.0)
 
 
-def _apply_kernel(xsh_ref, ltop_ref, lbot_ref, out_ref, *, T, th, tw, sh, sw,
-                  Wl):
-    """xsh: (1, th, Wl) uint8 — one shifted-grid row band; ltop/lbot:
-    (1, T, 256) f32 per-tile LUTs of the band's two contributing tile
-    rows; out: (1, 1, th, Wl) f32 in [0, 255]. The band axis is its own
-    array dimension so th need not be sublane-divisible (full dims are
-    exempt from the 8x128 block rule)."""
+def _apply_kernel(xsh_ref, pk_ref, out_ref, *, T, G, th, tw, sh, sw, Wl):
+    """xsh: (1, 1, th, Wl) uint8 — one shifted-grid row band; pk:
+    (1, 1, G, 256) int32 — this band's PACKED corner LUTs, one 256-entry
+    table per shifted COLUMN band with the four corners' 8-bit values in
+    the four bytes (tl | tr<<8 | bl<<16 | br<<24 — LUT entries are exact
+    integers, see ``_lut_kernel``'s round). One gather then yields all
+    four corner values at once, and only the column bands actually
+    present in a 128-lane window are visited (vs the old kernel's loop
+    over every tile column for every corner: 32 gathers per window down
+    to ~2 per present band). out: (1, 1, th, Wl) f32 in [0, 255]."""
     gy = pl.program_id(1)
     px = xsh_ref[0, 0].astype(jnp.int32)  # (th, Wl)
 
@@ -160,6 +163,8 @@ def _apply_kernel(xsh_ref, ltop_ref, lbot_ref, out_ref, *, T, th, tw, sh, sw,
     fy = (y - th / 2.0) / th
     wy = jnp.clip(fy - jnp.clip(jnp.floor(fy), 0, T - 1), 0.0, 1.0)
 
+    mask8 = jnp.int32(255)
+    srl = jax.lax.shift_right_logical
     for h in range(Wl // 128):
         idx = px[:, h * 128:(h + 1) * 128]
         sel_lo = idx < 128
@@ -167,28 +172,28 @@ def _apply_kernel(xsh_ref, ltop_ref, lbot_ref, out_ref, *, T, th, tw, sh, sw,
         ihi = jnp.maximum(idx - 128, 0)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1) + h * 128
-        gxcol = lane // tw
-        tx0 = jnp.clip(gxcol - 1, 0, T - 1)
-        tx1 = jnp.clip(gxcol, 0, T - 1)
+        gc = jnp.minimum(lane // tw, G - 1)
 
-        vs = []
-        for ref_ in (ltop_ref, lbot_ref):
-            v0 = jnp.zeros((th, 128), jnp.float32)
-            v1 = jnp.zeros((th, 128), jnp.float32)
-            for tx in range(T):
-                tab = ref_[0, tx:tx + 1, :]  # (1, 256)
-                tlo = jnp.broadcast_to(tab[:, :128], (th, 128))
-                # slicing lanes 128: leaves a lane-offset layout Mosaic
-                # can't broadcast ("Invalid input layout"); roll first
-                thi = jnp.broadcast_to(
-                    pltpu.roll(tab, jnp.int32(128), 1)[:, :128], (th, 128))
-                gth = jnp.where(sel_lo,
-                                jnp.take_along_axis(tlo, ilo, axis=1),
-                                jnp.take_along_axis(thi, ihi, axis=1))
-                v0 = v0 + jnp.where(tx0 == tx, gth, 0.0)
-                v1 = v1 + jnp.where(tx1 == tx, gth, 0.0)
-            vs.append((v0, v1))
-        (v_tl, v_tr), (v_bl, v_br) = vs
+        # column bands present in this lane window — static
+        lo_tc = (h * 128) // tw
+        hi_tc = min(G - 1, (h * 128 + 127) // tw)
+        v = jnp.zeros((th, 128), jnp.int32)
+        for tc in range(lo_tc, hi_tc + 1):
+            tab = pk_ref[0, 0, tc:tc + 1, :]  # (1, 256) i32
+            tlo = jnp.broadcast_to(tab[:, :128], (th, 128))
+            # slicing lanes 128: leaves a lane-offset layout Mosaic
+            # can't broadcast ("Invalid input layout"); roll first
+            thi = jnp.broadcast_to(
+                pltpu.roll(tab, jnp.int32(128), 1)[:, :128], (th, 128))
+            g = jnp.where(sel_lo,
+                          jnp.take_along_axis(tlo, ilo, axis=1),
+                          jnp.take_along_axis(thi, ihi, axis=1))
+            v = jnp.where(gc == tc, g, v)
+
+        v_tl = (v & mask8).astype(jnp.float32)
+        v_tr = (srl(v, 8) & mask8).astype(jnp.float32)
+        v_bl = (srl(v, 16) & mask8).astype(jnp.float32)
+        v_br = (srl(v, 24) & mask8).astype(jnp.float32)
 
         x = lane.astype(jnp.float32) - sw
         fx = (x - tw / 2.0) / tw
@@ -263,28 +268,37 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
     x_sh = jnp.pad(x_sh, ((0, 0), (0, 0), (0, Wl - G * tw)), mode="edge")
     x_sh = x_sh.reshape(N, G, th, Wl)
 
+    # packed corner LUTs per (row band, column band): the 4 corners'
+    # 8-bit integer entries in the 4 bytes of one int32 table — the
+    # apply kernel gathers all four at once. tile row/col selection is
+    # static numpy (edge bands clamp to the border tile row/col).
+    gids = np.arange(G)
+    t0 = np.clip(gids - 1, 0, T - 1)
+    t1 = np.clip(gids, 0, T - 1)
+    lut_u = luts.astype(jnp.uint32)  # rows are tile-major: ty * T + tx
+    rows = lambda ty, tx: (ty[:, None] * T + tx[None, :]).reshape(-1)
+    pk = (lut_u[:, rows(t0, t0), :]
+          | (lut_u[:, rows(t0, t1), :] << jnp.uint32(8))
+          | (lut_u[:, rows(t1, t0), :] << jnp.uint32(16))
+          | (lut_u[:, rows(t1, t1), :] << jnp.uint32(24)))
+    pk = jax.lax.bitcast_convert_type(pk, jnp.int32).reshape(N, G, G, 256)
+
     apply_kernel = functools.partial(
-        _apply_kernel, T=T, th=th, tw=tw, sh=sh, sw=sw, Wl=Wl)
+        _apply_kernel, T=T, G=G, th=th, tw=tw, sh=sh, sw=sw, Wl=Wl)
     out = pl.pallas_call(
         apply_kernel,
         grid=(N, G),
         in_specs=[
             pl.BlockSpec((1, 1, th, Wl), lambda n, gy: (n, gy, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            # the band's two contributing tile rows: g0/g1 of the
-            # shifted grid (edge bands clamp to the border tile row)
-            pl.BlockSpec((1, T, 256),
-                         lambda n, gy: (n, jnp.clip(gy - 1, 0, T - 1), _I0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 256),
-                         lambda n, gy: (n, jnp.minimum(gy, T - 1), _I0),
+            pl.BlockSpec((1, 1, G, 256), lambda n, gy: (n, gy, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, th, Wl), lambda n, gy: (n, gy, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, G, th, Wl), jnp.float32),
         interpret=interpret,
-    )(x_sh, luts, luts)
+    )(x_sh, pk)
 
     out = out.reshape(N, G * th, Wl)[:, sh:sh + H, sw:sw + W]
     out = out.reshape(B, C, H, W).transpose(0, 2, 3, 1)

@@ -213,3 +213,68 @@ class TestDcfFusedPallas:
         got = dcf_sign_fused(seeds, alpha, c, x, interpret=True)
         tot = np.asarray(got[0] + got[1])
         assert (tot == np.array([0, 0, 1, 1, 0])).all()
+
+
+class TestWarpDenseTwopass:
+    """Two-pass gather displacement warp (the default augmentation warp
+    on TPU): exact for axis-aligned fields, field-resampled (documented
+    approximation) for mixed smooth fields."""
+
+    @staticmethod
+    def _imgs(B=2, H=32, W=40, C=2, seed=0):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+
+    def test_identity_field_is_exact(self):
+        from primia_tpu.ops.pallas_tent import warp_dense_twopass_pallas
+
+        imgs = self._imgs()
+        z = jnp.zeros(imgs.shape[:3], jnp.float32)
+        got = np.asarray(warp_dense_twopass_pallas(imgs, z, z, interpret=True))
+        np.testing.assert_allclose(got, np.asarray(imgs), atol=8e-3)  # bf16
+
+    def test_axis_aligned_fields_match_dense(self):
+        from primia_tpu.ops.image import bilinear_sample
+        from primia_tpu.ops.pallas_tent import warp_dense_twopass_pallas
+
+        imgs = self._imgs(seed=1)
+        B, H, W, _ = imgs.shape
+        key = jax.random.PRNGKey(3)
+        dy = jax.random.uniform(key, (B, H, W), minval=-4.0, maxval=4.0)
+        dx = jax.random.uniform(jax.random.fold_in(key, 1), (B, H, W),
+                                minval=-4.0, maxval=4.0)
+        rr = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
+        cc = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None]
+        z = jnp.zeros_like(dy)
+        for dyy, dxx in ((dy, z), (z, dx)):  # dx==0, then dy==0
+            got = np.asarray(
+                warp_dense_twopass_pallas(imgs, dyy, dxx, interpret=True))
+            want = np.asarray(jax.vmap(bilinear_sample)(
+                imgs, rr + dyy, cc + dxx))
+            np.testing.assert_allclose(got, want, atol=1.5e-2)
+
+    def test_smooth_mixed_field_is_close(self):
+        """Small-amplitude smooth field: the pre-warp-column sampling
+        error is O(|dx| * Lip(dy)) — bounded and small here."""
+        from primia_tpu.ops.image import bilinear_sample
+        from primia_tpu.ops.pallas_tent import warp_dense_twopass_pallas
+
+        B, H, W = 2, 32, 40
+        rr = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        cc = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        # smooth image: the approximation is a ~0.5 px coordinate
+        # perturbation, so measure it on a band-limited signal (on white
+        # noise ANY sub-pixel shift yields O(1) value differences)
+        imgs = jnp.stack([
+            0.5 + 0.5 * jnp.sin(2 * np.pi * (cc / W + b * rr / H))
+            for b in (1.0, 2.0)
+        ])[..., None]
+        dy = (1.5 * jnp.sin(2 * np.pi * cc / W) * jnp.ones((B, 1, 1)))
+        dx = (1.5 * jnp.cos(2 * np.pi * rr / H) * jnp.ones((B, 1, 1)))
+        got = np.asarray(
+            warp_dense_twopass_pallas(imgs, dy, dx, interpret=True))
+        want = np.asarray(jax.vmap(bilinear_sample)(
+            imgs, rr[None] + dy, cc[None] + dx))
+        # interior only (edge zero-fill composition differs by design)
+        err = np.abs(got - want)[:, 4:-4, 4:-4]
+        assert err.mean() < 0.02 and np.percentile(err, 99) < 0.15
