@@ -226,6 +226,36 @@ def main():
             f"encrypted_inference_simpleconv28_snn: {enc_s * 1e3:.1f} ms/image\n")
     except Exception as e:
         sys.stderr.write(f"encrypted inference bench failed: {e}\n")
+    try:
+        fss_ns = bench_fss_sign()
+        sys.stderr.write(f"fss_sign_fused: {fss_ns:.1f} ns/element\n")
+    except Exception as e:
+        sys.stderr.write(f"fss sign bench failed: {e}\n")
+
+
+def bench_fss_sign(n=1 << 22):
+    """Fused Pallas DCF sign kernel (ops/pallas_dcf.py) — the FSS
+    protocol's only nonlinear cost (replaces the reference's shaloop
+    SHA loops, fss.py:532,581)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from primia_tpu.mpc import shares as S
+    from primia_tpu.mpc.compare import sign_shares
+    from primia_tpu.mpc.shares import AShare
+
+    x = jax.random.randint(jax.random.PRNGKey(0), (n,), -(1 << 20), 1 << 20,
+                           jnp.int64)
+    xs = S.share(jax.random.PRNGKey(1), x)
+    f = jax.jit(lambda k, d: sign_shares(k, AShare(d)).data)
+    out = f(jax.random.PRNGKey(2), xs.data)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = f(jax.random.PRNGKey(3), xs.data)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / n * 1e9
 
 
 if __name__ == "__main__":
