@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, os, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/primia_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
