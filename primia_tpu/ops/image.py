@@ -502,6 +502,81 @@ def clahe_mxu(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
     return (out / 255.0).astype(imgs.dtype)
 
 
+# OpenCV D65 colour matrices (cvtColor docs): linear RGB in [0,1] ->
+# XYZ; white point Xn/Zn normalization folded at use site. The rows of
+# _RGB2XYZ sum to exactly (Xn, 1, Zn), so grey inputs map to a=b=128
+# exactly and survive the LAB round trip unchanged.
+_RGB2XYZ = np.array(
+    [[0.412453, 0.357580, 0.180423],
+     [0.212671, 0.715160, 0.072169],
+     [0.019334, 0.119193, 0.950227]], np.float64)
+_XYZ2RGB = np.linalg.inv(_RGB2XYZ)
+_XN = 0.950456
+_ZN = 1.088754
+_LAB_EPS = 0.008856  # (6/29)^3
+_LAB_KAPPA = 903.3   # 29^3/3^3 (OpenCV's value)
+
+
+def rgb_to_lab_u8(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) floats in [0, 1] -> LAB in OpenCV's uint8 scale
+    (L in [0, 255] = L*255/100, a/b offset by +128), kept in float.
+
+    Implements the documented ``cv2.cvtColor(COLOR_RGB2LAB)`` 8-bit
+    formulas (no sRGB linearization — OpenCV's LAB conversion treats
+    8-bit RGB as linear); OpenCV's fixed-point table interpolation may
+    differ from this float evaluation by 1 level.
+    """
+    rgb = jnp.floor(jnp.clip(imgs.astype(jnp.float32) * 255.0 + 0.5, 0, 255))
+    rgb = rgb / 255.0
+    # explicit linear combinations, not a (..,3)@(3,3) dot: the default
+    # dot precision computes in bf16 (~0.3 uint8 level error) and a K=3
+    # contraction is degenerate MXU work anyway
+    r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    # python-float coefficients: numpy f64 scalars would promote the
+    # whole pipeline to f64 under the package's x64 mode
+    (m00, m01, m02), (m10, m11, m12), (m20, m21, m22) = _RGB2XYZ.tolist()
+    xr = (m00 * r + m01 * g + m02 * b_) / _XN
+    yr = m10 * r + m11 * g + m12 * b_
+    zr = (m20 * r + m21 * g + m22 * b_) / _ZN
+
+    def f(t):
+        return jnp.where(t > _LAB_EPS, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(xr), f(yr), f(zr)
+    L = jnp.where(yr > _LAB_EPS, 116.0 * fy - 16.0, _LAB_KAPPA * yr)
+    a = 500.0 * (fx - fy) + 128.0
+    b = 200.0 * (fy - fz) + 128.0
+    lab = jnp.stack([L * (255.0 / 100.0), a, b], axis=-1)
+    return jnp.clip(lab, 0.0, 255.0)
+
+
+def lab_u8_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`rgb_to_lab_u8`; returns [0, 1] floats quantized
+    to uint8 levels (the reference pipeline hands albumentations' uint8
+    result onward)."""
+    L = lab[..., 0] * (100.0 / 255.0)
+    a = lab[..., 1] - 128.0
+    b = lab[..., 2] - 128.0
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        t3 = t * t * t
+        return jnp.where(t3 > _LAB_EPS, t3, (t - 16.0 / 116.0) / 7.787)
+
+    yr = jnp.where(L > _LAB_KAPPA * _LAB_EPS, fy * fy * fy, L / _LAB_KAPPA)
+    x_, y_, z_ = finv(fx) * _XN, yr, finv(fz) * _ZN
+    # explicit python-float combinations: see rgb_to_lab_u8
+    (i00, i01, i02), (i10, i11, i12), (i20, i21, i22) = _XYZ2RGB.tolist()
+    rgb = jnp.stack(
+        [i00 * x_ + i01 * y_ + i02 * z_,
+         i10 * x_ + i11 * y_ + i12 * z_,
+         i20 * x_ + i21 * y_ + i22 * z_], axis=-1)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return jnp.floor(rgb * 255.0 + 0.5) / 255.0
+
+
 def clahe(
     imgs: jnp.ndarray,
     clip_limit: float = 1.0,
@@ -509,9 +584,34 @@ def clahe(
 ) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization (batched).
 
+    Channel semantics follow albumentations' ``a.CLAHE``
+    (``albumentations/augmentations/functional.py``: the reference
+    enables it at ``torchlib/dataloader.py:152-157``): a 3-channel
+    image is converted RGB -> LAB (OpenCV uint8 convention) and only
+    the L channel is equalized; 1-channel images are equalized
+    directly. Besides parity, this is 3x less histogram/LUT work on
+    the canonical 3-channel config. Any other channel count falls back
+    to per-channel equalization.
+    """
+    if imgs.shape[-1] == 3:
+        lab = rgb_to_lab_u8(imgs)
+        L_eq = _clahe_channels(lab[..., :1] / 255.0, clip_limit, tiles)
+        lab = jnp.concatenate(
+            [L_eq.astype(jnp.float32) * 255.0, jnp.round(lab[..., 1:])], axis=-1)
+        return lab_u8_to_rgb(lab).astype(imgs.dtype)
+    return _clahe_channels(imgs, clip_limit, tiles)
+
+
+def _clahe_channels(
+    imgs: jnp.ndarray,
+    clip_limit: float = 1.0,
+    tiles: int = 8,
+) -> jnp.ndarray:
+    """Per-channel CLAHE backend dispatch.
+
     OpenCV-style: per-tile clipped histograms -> per-tile LUTs ->
     bilinear interpolation between the four neighbouring tile LUTs.
-    Operates on [0,1] float, luminance-style per channel.
+    Operates on [0,1] float, independently per channel.
 
     On TPU dispatches to the Pallas two-kernel pipeline
     (``ops.pallas_clahe`` — measured 4.7x over the one-hot matmul

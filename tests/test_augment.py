@@ -151,8 +151,58 @@ def test_clahe_mxu_matches_gather(rng):
 
     x = jnp.asarray(rng.random((2, 48, 40, 3)), jnp.float32)
     a = np.asarray(I.clahe_mxu(x, 1.0, 8))
-    b = np.asarray(I.clahe(x, 1.0, 8))  # gather path off-TPU
+    b = np.asarray(I._clahe_channels(x, 1.0, 8))  # gather path off-TPU
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_lab_roundtrip_identity(rng):
+    """rgb -> LAB(u8 scale) -> rgb. Unquantized LAB must reproduce
+    every uint8 level to within 1 level (the math is an exact inverse;
+    the only freedom is f32 rounding). With LAB quantized to uint8 —
+    what cv2's 8-bit pipeline stores — saturated colours may move
+    several levels (L packs a 100-point range into 255 levels); cv2
+    itself has the same loss."""
+    from primia_tpu.ops import image as I
+
+    x = jnp.asarray(rng.integers(0, 256, (2, 17, 19, 3)), jnp.float32) / 255.0
+    back = np.asarray(I.lab_u8_to_rgb(I.rgb_to_lab_u8(x)))
+    assert np.abs(back - np.asarray(x)).max() <= 1.01 / 255.0
+    back_q = np.asarray(I.lab_u8_to_rgb(jnp.round(I.rgb_to_lab_u8(x))))
+    assert np.abs(back_q - np.asarray(x)).max() <= 8.0 / 255.0
+
+
+def test_lab_gray_is_neutral(rng):
+    """Grey pixels (R=G=B) sit exactly on the neutral LAB axis: the
+    RGB->XYZ rows sum to the white point, so a = b = 128."""
+    from primia_tpu.ops import image as I
+
+    g = jnp.asarray(rng.integers(0, 256, (1, 8, 8, 1)), jnp.float32) / 255.0
+    lab = np.asarray(I.rgb_to_lab_u8(jnp.tile(g, (1, 1, 1, 3))))
+    np.testing.assert_allclose(lab[..., 1], 128.0, atol=5e-3)
+    np.testing.assert_allclose(lab[..., 2], 128.0, atol=5e-3)
+
+
+def test_clahe_3ch_is_lab_luminance(rng):
+    """albumentations semantics (functional.clahe): 3-channel CLAHE
+    equalizes the LAB L channel only. Replicated-grey input must stay
+    grey, and the result must equal hand-composing the LAB pipeline
+    around the per-channel backend."""
+    from primia_tpu.ops import image as I
+
+    x = jnp.asarray(rng.random((2, 48, 40, 3)), jnp.float32)
+    got = np.asarray(I.clahe(x, 1.0, 8))
+    lab = I.rgb_to_lab_u8(x)
+    L_eq = I._clahe_channels(lab[..., :1] / 255.0, 1.0, 8)
+    want = I.lab_u8_to_rgb(
+        jnp.concatenate([L_eq * 255.0, jnp.round(lab[..., 1:])], axis=-1))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+    grey = jnp.tile(jnp.asarray(rng.random((1, 48, 40, 1)), jnp.float32),
+                    (1, 1, 1, 3))
+    out = np.asarray(I.clahe(grey, 1.0, 8))
+    assert np.abs(out - out[..., :1]).max() <= 1.01 / 255.0
+    # and the equalization actually did something
+    assert np.abs(out - np.asarray(grey)).max() > 2.0 / 255.0
 
 
 def test_full_pipeline_every_toggle(rng):
