@@ -111,6 +111,31 @@ class MpcEngine:
         y = self._mul(x, scale_b)
         return self.bias_add(y, offset)
 
+    def batch_norm(self, x: AShare, mean: AShare, var: AShare,
+                   weight: AShare, bias: AShare, eps: float = 1e-5) -> AShare:
+        """*Private* inference batch norm: rsqrt(var + eps) computed in
+        share space (``mpc.functions.inverse_sqrt`` Newton iterations)
+        — the alternative to the exact offline fold (``affine``) when
+        the BN statistics themselves are secret. Same math as the
+        reference's share-space batch_norm
+        (``syft/frameworks/torch/nn/functional.py:44-77``), whose
+        ``reciprocal(method="newton")`` call is actually an
+        inverse-sqrt iteration (see ``functions.reciprocal``); here it
+        is a quadratic Newton rsqrt instead of 80 damped steps. All
+        per-channel vectors, so the iterations are tiny."""
+        from primia_tpu.mpc import functions as F
+
+        inv_std = F.inverse_sqrt(self.ctx, S.add_public(
+            var, fixed.encode(eps, self.ctx.frac_bits)))
+        scale = self._mul(weight, inv_std)  # per-channel
+        shp = (1,) * (x.ndim - 1) + scale.shape
+        scale_b = AShare(jnp.broadcast_to(
+            scale.data.reshape((2,) + shp), x.data.shape))
+        mean_b = AShare(jnp.broadcast_to(
+            mean.data.reshape((2,) + shp), x.data.shape))
+        y = self._mul(S.sub(x, mean_b), scale_b)
+        return self.bias_add(y, bias)
+
     def relu(self, x: AShare) -> AShare:
         sign = self.ctx.sign_shares(x)
         pos = S.add_public(S.neg(sign), 1)

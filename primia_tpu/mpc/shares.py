@@ -50,6 +50,14 @@ def share(key, value) -> AShare:
     return AShare(jnp.stack([value - r, r]))
 
 
+def make_public(value) -> AShare:
+    """Trivial sharing of a public ring value (party 0 holds it all) —
+    for public constants entering share-space iterations (e.g. the
+    Newton-Schulz identity init, ``precision.py:538``)."""
+    value = jnp.asarray(value, jnp.int64)
+    return AShare(jnp.stack([value, jnp.zeros_like(value)]))
+
+
 def reconstruct(x: AShare) -> jnp.ndarray:
     """Open a sharing (reference ``reconstruct``: move + sum,
     ``additive_shared.py:367``)."""

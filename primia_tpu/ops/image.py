@@ -517,17 +517,33 @@ _LAB_EPS = 0.008856  # (6/29)^3
 _LAB_KAPPA = 903.3   # 29^3/3^3 (OpenCV's value)
 
 
+def _srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """sRGB companding removal (IEC 61966-2-1), as cv2's 8-bit
+    COLOR_RGB2LAB applies via its gamma LUT (grey 128 -> L 137, not the
+    linear formula's 194 — verified against cv2 5.0 golden values)."""
+    return jnp.where(
+        x <= 0.04045, x / 12.92, jnp.power((x + 0.055) / 1.055, 2.4))
+
+
+def _linear_to_srgb(y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        y <= 0.0031308,
+        12.92 * y,
+        1.055 * jnp.power(jnp.maximum(y, 0.0), 1.0 / 2.4) - 0.055)
+
+
 def rgb_to_lab_u8(imgs: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) floats in [0, 1] -> LAB in OpenCV's uint8 scale
     (L in [0, 255] = L*255/100, a/b offset by +128), kept in float.
 
-    Implements the documented ``cv2.cvtColor(COLOR_RGB2LAB)`` 8-bit
-    formulas (no sRGB linearization — OpenCV's LAB conversion treats
-    8-bit RGB as linear); OpenCV's fixed-point table interpolation may
-    differ from this float evaluation by 1 level.
+    Matches ``cv2.cvtColor(COLOR_RGB2LAB)`` 8-bit semantics including
+    the sRGB linearization its implementation applies before the
+    RGB->XYZ matrix; OpenCV's fixed-point table interpolation may
+    differ from this float evaluation by 1 level
+    (``tests/test_augment.py`` pins cv2 golden values).
     """
     rgb = jnp.floor(jnp.clip(imgs.astype(jnp.float32) * 255.0 + 0.5, 0, 255))
-    rgb = rgb / 255.0
+    rgb = _srgb_to_linear(rgb / 255.0)
     # explicit linear combinations, not a (..,3)@(3,3) dot: the default
     # dot precision computes in bf16 (~0.3 uint8 level error) and a K=3
     # contraction is degenerate MXU work anyway
@@ -573,6 +589,7 @@ def lab_u8_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
         [i00 * x_ + i01 * y_ + i02 * z_,
          i10 * x_ + i11 * y_ + i12 * z_,
          i20 * x_ + i21 * y_ + i22 * z_], axis=-1)
+    rgb = _linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
     rgb = jnp.clip(rgb, 0.0, 1.0)
     return jnp.floor(rgb * 255.0 + 0.5) / 255.0
 
@@ -596,8 +613,11 @@ def clahe(
     if imgs.shape[-1] == 3:
         lab = rgb_to_lab_u8(imgs)
         L_eq = _clahe_channels(lab[..., :1] / 255.0, clip_limit, tiles)
+        # cv2's pipeline stores every LAB channel as uint8 after CLAHE:
+        # round L to integer levels exactly like a/b
         lab = jnp.concatenate(
-            [L_eq.astype(jnp.float32) * 255.0, jnp.round(lab[..., 1:])], axis=-1)
+            [jnp.round(L_eq.astype(jnp.float32) * 255.0),
+             jnp.round(lab[..., 1:])], axis=-1)
         return lab_u8_to_rgb(lab).astype(imgs.dtype)
     return _clahe_channels(imgs, clip_limit, tiles)
 

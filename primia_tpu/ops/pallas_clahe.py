@@ -211,15 +211,9 @@ def _blocks(a, g, t1, t2):
     return a.reshape(N, g * g, t1 * t2)
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles", "interpret"))
-def clahe_pallas(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
-                 *, interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ``ops.image.clahe`` — (B, H, W, C) floats in [0, 1]."""
-    with _x64_scope(False):
-        return _clahe_pallas_impl(imgs, clip_limit, tiles, interpret)
-
-
-def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
+def _prep_tiles(imgs, tiles):
+    """(B, H, W, C) floats -> (N, Hp, Wp) uint8 tile-padded planes plus
+    the static tile geometry shared by both kernel stages."""
     B, H, W, C = imgs.shape
     T = tiles
     th, tw = -(-H // T), -(-W // T)
@@ -228,10 +222,16 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
     x4 = u8.transpose(0, 3, 1, 2)
     if padH or padW:
         x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, padH), (0, padW)), mode="edge")
-    Hp, Wp = th * T, tw * T
-    N = B * C
-    x = x4.reshape(N, Hp, Wp)
+    x = x4.reshape(B * C, th * T, tw * T)
+    return x, (B, H, W, C, T, th, tw)
 
+
+def _lut_stage(x, T, th, tw, clip_limit, interpret):
+    """First pallas_call: (N, T*th, T*tw) uint8 planes -> (N, T2p, 256)
+    f32 per-tile LUTs. Exposed standalone (via :func:`clahe_luts`) so
+    the kernel-attribution bench measures the real pipeline stage
+    instead of re-implementing the pallas_call setup."""
+    N = x.shape[0]
     P = th * tw
     limit = max(clip_limit * P / 256.0, 1.0)
     Ppad = -(-P // 128) * 128
@@ -245,7 +245,7 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
 
     lut_kernel = functools.partial(
         _lut_kernel, T2p=T2p, P=P, Ppad=Ppad, padP=padP, limit=float(limit))
-    luts = pl.pallas_call(
+    return pl.pallas_call(
         lut_kernel,
         grid=(N,),
         in_specs=[
@@ -259,6 +259,30 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
         out_shape=jax.ShapeDtypeStruct((N, T2p, 256), jnp.float32),
         interpret=interpret,
     )(xt, xtT)
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles", "interpret"))
+def clahe_luts(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
+               *, interpret: bool = False) -> jnp.ndarray:
+    """LUT stage alone on (B, H, W, C) floats — for per-kernel
+    attribution benches (``tools/bench_clahe_kernels.py``)."""
+    with _x64_scope(False):
+        x, (B, H, W, C, T, th, tw) = _prep_tiles(imgs, tiles)
+        return _lut_stage(x, T, th, tw, clip_limit, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles", "interpret"))
+def clahe_pallas(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
+                 *, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``ops.image.clahe`` — (B, H, W, C) floats in [0, 1]."""
+    with _x64_scope(False):
+        return _clahe_pallas_impl(imgs, clip_limit, tiles, interpret)
+
+
+def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
+    x, (B, H, W, C, T, th, tw) = _prep_tiles(imgs, tiles)
+    N = B * C
+    luts = _lut_stage(x, T, th, tw, clip_limit, interpret)
 
     # shifted grid: G = T+1 half-tile-offset row bands x column bands
     G = T + 1

@@ -159,16 +159,17 @@ def test_lab_roundtrip_identity(rng):
     """rgb -> LAB(u8 scale) -> rgb. Unquantized LAB must reproduce
     every uint8 level to within 1 level (the math is an exact inverse;
     the only freedom is f32 rounding). With LAB quantized to uint8 —
-    what cv2's 8-bit pipeline stores — saturated colours may move
-    several levels (L packs a 100-point range into 255 levels); cv2
-    itself has the same loss."""
+    what cv2's 8-bit pipeline stores — dark and saturated colours may
+    move many levels (L packs 100 points into 255 levels, and the sRGB
+    gamma steepens the dark end); cv2 itself loses up to 18 levels on
+    the same roundtrip."""
     from primia_tpu.ops import image as I
 
     x = jnp.asarray(rng.integers(0, 256, (2, 17, 19, 3)), jnp.float32) / 255.0
     back = np.asarray(I.lab_u8_to_rgb(I.rgb_to_lab_u8(x)))
     assert np.abs(back - np.asarray(x)).max() <= 1.01 / 255.0
     back_q = np.asarray(I.lab_u8_to_rgb(jnp.round(I.rgb_to_lab_u8(x))))
-    assert np.abs(back_q - np.asarray(x)).max() <= 8.0 / 255.0
+    assert np.abs(back_q - np.asarray(x)).max() <= 18.0 / 255.0
 
 
 def test_lab_gray_is_neutral(rng):
@@ -180,6 +181,39 @@ def test_lab_gray_is_neutral(rng):
     lab = np.asarray(I.rgb_to_lab_u8(jnp.tile(g, (1, 1, 1, 3))))
     np.testing.assert_allclose(lab[..., 1], 128.0, atol=5e-3)
     np.testing.assert_allclose(lab[..., 2], 128.0, atol=5e-3)
+
+
+def test_lab_golden_values_cv2():
+    """Non-tautological LAB check: golden values captured from
+    ``cv2.cvtColor(COLOR_RGB2LAB)`` (cv2 5.0). cv2's 8-bit path applies
+    sRGB linearization through its gamma LUT — grey RGB(128,128,128)
+    maps to L=137, NOT the linear formula's 194 — and its fixed-point
+    table interpolation deviates from the exact float formula by up to
+    ~2 levels, so the tolerance is 2."""
+    from primia_tpu.ops import image as I
+
+    pix = np.array(
+        [[0, 0, 0], [255, 255, 255], [128, 128, 128], [50, 50, 50],
+         [64, 128, 192], [200, 30, 100], [10, 250, 90], [230, 240, 250]],
+        np.float32)
+    golden = np.array(  # cv2.cvtColor(pix_u8, cv2.COLOR_RGB2LAB)
+        [[0, 128, 128], [255, 128, 128], [137, 128, 128], [53, 128, 128],
+         [133, 128, 89], [113, 195, 133], [221, 48, 189], [241, 127, 122]],
+        np.float64)
+    ours = np.asarray(I.rgb_to_lab_u8(pix[None, None] / 255.0))[0, 0]
+    assert np.abs(ours - golden).max() <= 2.0
+
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (1, 32, 32, 3), np.uint8)
+    ref = cv2.cvtColor(u8[0], cv2.COLOR_RGB2LAB).astype(np.float64)[None]
+    ours = np.asarray(I.rgb_to_lab_u8(u8.astype(np.float32) / 255.0))
+    assert np.abs(ours - ref).max() <= 2.0
+    # inverse against cv2 LAB2RGB (uint8 in, uint8 levels out)
+    lab = rng.integers(0, 256, (1, 32, 32, 3), np.uint8)
+    ref_b = cv2.cvtColor(lab[0], cv2.COLOR_LAB2RGB).astype(np.float64)[None]
+    ours_b = np.asarray(I.lab_u8_to_rgb(lab.astype(np.float64))) * 255.0
+    assert np.abs(ours_b - ref_b).max() <= 2.0
 
 
 def test_clahe_3ch_is_lab_luminance(rng):
@@ -194,7 +228,8 @@ def test_clahe_3ch_is_lab_luminance(rng):
     lab = I.rgb_to_lab_u8(x)
     L_eq = I._clahe_channels(lab[..., :1] / 255.0, 1.0, 8)
     want = I.lab_u8_to_rgb(
-        jnp.concatenate([L_eq * 255.0, jnp.round(lab[..., 1:])], axis=-1))
+        jnp.concatenate(
+            [jnp.round(L_eq * 255.0), jnp.round(lab[..., 1:])], axis=-1))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
 
     grey = jnp.tile(jnp.asarray(rng.random((1, 48, 40, 1)), jnp.float32),

@@ -1,0 +1,215 @@
+"""FPT math library: share-space approximations pinned against
+plaintext within fixed-point tolerance.
+
+Reference surface: ``syft/.../interpreters/precision.py:380-760``
+(exp/log/reciprocal/inverse/pow/sigmoid/tanh) and
+``additive_shared.py:990-1100`` (argmax/argmin/max/min/var).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from primia_tpu.mpc import engine as E
+from primia_tpu.mpc import functions as F
+from primia_tpu.mpc import shares as S
+from primia_tpu.mpc import fixed
+
+
+def ctx(protocol="snn"):
+    return E.MpcContext(jax.random.PRNGKey(11), protocol=protocol)
+
+
+def enc(x):
+    return E.encode_and_share(jax.random.PRNGKey(5), jnp.asarray(x, jnp.float64))
+
+
+def dec(sh):
+    return np.asarray(E.reveal_and_decode(sh))
+
+
+def test_exp_matches_limit_formula():
+    x = np.array([-4.0, -1.2, 0.0, 0.1, 0.5, 1.0, 2.0, 3.5, 7.9])
+    got = dec(F.exp(ctx(), enc(x)))
+    want = (1 + x / 256) ** 256  # the reference's own approximation
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+    # and the formula itself tracks exp on the useful domain
+    np.testing.assert_allclose(got[:7], np.exp(x[:7]), rtol=2e-2, atol=1e-3)
+
+
+def test_log():
+    x = np.array([0.05, 0.2, 1.0, 2.718281828, 10.0, 50.0])
+    got = dec(F.log(ctx(), enc(x)))
+    np.testing.assert_allclose(got, np.log(x), atol=5e-2)
+
+
+def test_reciprocal_nr_both_signs():
+    x = np.array([0.05, 0.2, 1.0, 2.0, 5.0, 20.0, 100.0])
+    for s in (1.0, -1.0):
+        got = dec(F.reciprocal(ctx(), enc(s * x)))
+        np.testing.assert_allclose(got * (s * x), 1.0, atol=5e-3)
+
+
+def test_reciprocal_newton_is_rsqrt():
+    # the method the reference's private batch_norm calls
+    # (nn/functional.py:66). Despite the name, the reference's damped
+    # iteration (precision.py:505-515) has fixed point a*x^2 = 1, so
+    # it computes a^(-1/2) — pinned here as the parity contract
+    x = np.array([0.25, 1.0, 4.0, 17.0])
+    got = dec(F.reciprocal(ctx(), enc(x), method="newton"))
+    np.testing.assert_allclose(got * np.sqrt(x), 1.0, atol=5e-3)
+
+
+def test_reciprocal_log_method():
+    x = np.array([0.5, 2.0, 8.0, -3.0])
+    got = dec(F.reciprocal(ctx(), enc(x), method="log"))
+    np.testing.assert_allclose(got * x, 1.0, atol=8e-2)
+
+
+def test_inverse_sqrt_and_sqrt():
+    x = np.array([0.05, 0.25, 1.0, 2.0, 9.0, 100.0])
+    got = dec(F.inverse_sqrt(ctx(), enc(x)))
+    np.testing.assert_allclose(got * np.sqrt(x), 1.0, atol=5e-3)
+    got_s = dec(F.sqrt(ctx(), enc(x)))
+    np.testing.assert_allclose(got_s, np.sqrt(x), rtol=5e-3, atol=5e-3)
+
+
+def test_pow():
+    x = np.array([0.5, 1.5, -2.0, 3.0])
+    for p, tol in [(1, 1e-4), (2, 1e-3), (3, 1e-2), (7, 0.3)]:
+        got = dec(F.pow(ctx(), enc(x), p))
+        np.testing.assert_allclose(got, x ** p, rtol=1e-3, atol=tol)
+    got0 = dec(F.pow(ctx(), enc(x), 0))
+    np.testing.assert_allclose(got0, 1.0)
+    with pytest.raises(ValueError):
+        F.pow(ctx(), enc(x), -1)
+
+
+def test_matrix_inverse():
+    m = np.array([[2.0, 0.3], [0.5, 1.5]])
+    got = dec(F.inverse(ctx(), enc(m), iterations=14))
+    np.testing.assert_allclose(got, np.linalg.inv(m), atol=1e-3)
+    with pytest.raises(ValueError):
+        F.inverse(ctx(), enc(np.zeros((2, 3))))
+
+
+@pytest.mark.parametrize("method,tol", [
+    ("chebyshev", 2e-3), ("exp", 5e-3)])
+def test_sigmoid(method, tol):
+    x = np.array([-7.5, -4.0, -1.2, 0.0, 0.1, 0.5, 2.0, 3.5, 7.9])
+    got = dec(F.sigmoid(ctx(), enc(x), method))
+    np.testing.assert_allclose(got, 1 / (1 + np.exp(-x)), atol=tol)
+
+
+def test_sigmoid_maclaurin_matches_reference_polynomial():
+    # the polynomial IS the contract (precision.py:609-616); its own
+    # distance from true sigmoid at |x| > 3 belongs to the reference
+    x = np.array([-7.9, -4.0, -1.2, 0.0, 0.5, 2.0, 3.5, 7.9])
+    got = dec(F.sigmoid(ctx(), enc(x), "maclaurin"))
+    poly = (0.5 + 1.91204779e-1 * x - 4.58667307e-3 * x ** 3
+            + 4.20690803e-5 * x ** 5)
+    np.testing.assert_allclose(got, poly, atol=2e-3)
+    # the polynomial itself is a coarse fit (reference docs call it
+    # "faster but not as precise"): ~5e-2 from true sigmoid mid-range
+    np.testing.assert_allclose(got[2:6], 1 / (1 + np.exp(-x[2:6])), atol=5e-2)
+
+
+@pytest.mark.parametrize("protocol", ["snn", "fss"])
+def test_tanh_chebyshev_and_clamp(protocol):
+    x = np.array([-9.0, -6.5, -2.0, -0.3, 0.0, 0.7, 3.0, 6.2, 11.0])
+    got = dec(F.tanh(ctx(protocol), enc(x)))
+    np.testing.assert_allclose(got, np.tanh(x), atol=2e-3)
+    # outside [-6, 6] the reference clamps to exactly +/-1
+    np.testing.assert_allclose(got[[0, 1]], -1.0, atol=1e-4)
+    np.testing.assert_allclose(got[[7, 8]], 1.0, atol=1e-4)
+
+
+def test_tanh_sigmoid_method():
+    x = np.array([-2.0, -0.5, 0.0, 0.5, 2.0])
+    got = dec(F.tanh(ctx(), enc(x), method="sigmoid"))
+    np.testing.assert_allclose(got, np.tanh(x), atol=1e-2)
+
+
+def test_argmax_argmin_max_min():
+    a = np.array([[0.3, 1.0, -0.5, 2.0], [5.0, -1.0, 0.0, 4.9]])
+    c = ctx()
+    np.testing.assert_allclose(dec(F.argmax(c, enc(a), axis=1)),
+                               a.argmax(1))
+    np.testing.assert_allclose(dec(F.argmin(c, enc(a), axis=1)),
+                               a.argmin(1))
+    np.testing.assert_allclose(dec(F.max(c, enc(a), axis=1)), a.max(1),
+                               atol=1e-4)
+    np.testing.assert_allclose(dec(F.min(c, enc(a), axis=1)), a.min(1),
+                               atol=1e-4)
+    # global (flattened) variants
+    np.testing.assert_allclose(dec(F.argmax(c, enc(a))), a.argmax())
+    np.testing.assert_allclose(dec(F.max(c, enc(a))), a.max(), atol=1e-4)
+    # one-hot form: integer shares, reconstruct directly
+    oh = F.argmax(c, enc(a), axis=1, one_hot=True)
+    np.testing.assert_array_equal(np.asarray(S.reconstruct(oh)),
+                                  np.eye(4)[a.argmax(1)])
+
+
+def test_argmax_ties_sum_indices():
+    # reference semantics (_one_hot_to_index): tied maxima each
+    # contribute their index
+    a = np.array([1.0, 3.0, 3.0, 0.0])
+    got = dec(F.argmax(ctx(), enc(a)))
+    np.testing.assert_allclose(got, 1 + 2)
+
+
+def test_mean_var():
+    a = np.random.default_rng(3).normal(size=(3, 8))
+    c = ctx()
+    np.testing.assert_allclose(dec(F.mean(c, enc(a), axis=1)), a.mean(1),
+                               atol=1e-4)
+    np.testing.assert_allclose(dec(F.var(c, enc(a), axis=1)), a.var(1),
+                               atol=1e-3)
+    np.testing.assert_allclose(dec(F.var(c, enc(a), axis=1, unbiased=True)),
+                               a.var(1, ddof=1), atol=1e-3)
+    np.testing.assert_allclose(dec(F.var(c, enc(a))), a.var(), atol=1e-3)
+
+
+def test_private_division():
+    x = np.array([1.0, -2.0, 0.5, 4.0])
+    y = np.array([2.5, 0.8, -1.6, 3.0])
+    got = dec(F.div(ctx(), enc(x), enc(y)))
+    np.testing.assert_allclose(got, x / y, atol=5e-3)
+
+
+def test_private_batch_norm_matches_plaintext():
+    """engine.batch_norm with secret statistics == plaintext BN
+    (correct rsqrt math; the reference's 1/var quirk is documented)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 4, 3))
+    mean = rng.normal(size=(3,)) * 0.3
+    var = rng.uniform(0.25, 4.0, size=(3,))
+    w = rng.normal(size=(3,)) * 0.5 + 1.0
+    b = rng.normal(size=(3,)) * 0.1
+    c = ctx()
+    eng = E.MpcEngine(c)
+    got = dec(eng.batch_norm(enc(x), enc(mean), enc(var), enc(w), enc(b)))
+    want = (x - mean) / np.sqrt(var + 1e-5) * w + b
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_functions_are_jittable():
+    """The whole library must trace under jit (static control flow
+    only) — the property every engine op is built on."""
+    x = np.array([0.3, -1.5, 2.0, 0.9])
+
+    @jax.jit
+    def run(data):
+        c = ctx()
+        sh = S.AShare(data)
+        return (F.sigmoid(c, sh).data, F.tanh(c, sh).data,
+                F.reciprocal(c, sh).data)
+
+    sg, th, rc = run(enc(x).data)
+    np.testing.assert_allclose(
+        np.asarray(fixed.decode(sg.sum(0))), 1 / (1 + np.exp(-x)), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(fixed.decode(th.sum(0))), np.tanh(x), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(fixed.decode(rc.sum(0))) * x, 1.0, atol=5e-3)

@@ -47,48 +47,9 @@ def main():
     full = timeit(pc.clahe_pallas, imgs)
     print(f"clahe_pallas full: {full:.2f} ms  ({B}x{H}x{W}x{C})")
 
-    # split: LUT kernel alone (stop after the first pallas_call)
-    T = 8
-    th = tw = 28
-    u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-    x = u8.transpose(0, 3, 1, 2).reshape(B * C, H, W)
-
-    import functools
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from jax._src.config import enable_x64 as _x64
-
-    P = th * tw
-    Ppad = -(-P // 128) * 128
-    padP = Ppad - P
-    T2 = T * T
-    T2p = T2
-    limit = max(1.0 * P / 256.0, 1.0)
-    N = B * C
-
-    @jax.jit
-    def lut_only(x):
-        with _x64(False):
-            xt = pc._blocks(x, T, th, tw)
-            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, padP)))
-            xtT = xt.transpose(0, 2, 1)
-            k = functools.partial(pc._lut_kernel, T2p=T2p, P=P, Ppad=Ppad,
-                                  padP=padP, limit=float(limit))
-            return pl.pallas_call(
-                k,
-                grid=(N,),
-                in_specs=[
-                    pl.BlockSpec((1, T2p, Ppad), lambda n: (n, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, Ppad, T2p), lambda n: (n, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, T2p, 256), lambda n: (n, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((N, T2p, 256), jnp.float32),
-            )(xt, xtT)
-
-    t_lut = timeit(lut_only, x)
+    # split: LUT kernel alone — the REAL pipeline stage exposed by
+    # pallas_clahe.clahe_luts, not a re-implementation of its setup
+    t_lut = timeit(pc.clahe_luts, imgs)
     print(f"LUT kernel (+blocking reshapes): {t_lut:.2f} ms")
     print(f"apply + pack + reassembly (residual): {full - t_lut:.2f} ms")
 
