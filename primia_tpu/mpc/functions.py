@@ -207,12 +207,46 @@ def reciprocal(ctx, x: AShare, method: str = "nr", nr_iters: int = 10) -> AShare
     raise ValueError(f"Invalid method {method} given for reciprocal function")
 
 
-def div(ctx, x: AShare, y: AShare, **kw) -> AShare:
-    """Private-divisor division ``x / y`` = ``x * reciprocal(y)``
-    (reference FPT ``div`` routes through the interpreter stack;
-    SecureNN integer division is the other backend,
-    ``mpc/securenn_extra``-style — see ``securenn.division``)."""
-    return _mul(ctx, x, reciprocal(ctx, y, **kw))
+def div(ctx, x: AShare, y: AShare, method: str = "reciprocal", **kw) -> AShare:
+    """Private-divisor fixed-point division ``x / y``.
+
+    - ``reciprocal`` (default): ``x * reciprocal(y)`` — the FPT route.
+    - ``securenn``: exact SecureNN long division
+      (``securenn.py:553-608``) on ``(|x| << frac_bits) / |y|`` with the
+      sign fixed up by one extra product — bit-exact
+      ``floor`` semantics instead of Newton error, ~32 comparison
+      rounds. Domain |x| < 2^14 at frac_bits=16 (numerator headroom).
+    """
+    if method == "reciprocal":
+        return _mul(ctx, x, reciprocal(ctx, y, **kw))
+    if method == "securenn":
+        from primia_tpu.mpc import securenn
+
+        sx = sign_int(ctx, x)
+        sy = sign_int(ctx, y)
+        ax = beaver.mul(ctx.next_key(), x, sx)
+        ay = beaver.mul(ctx.next_key(), y, sy)
+        num = S.mul_public(ax, 1 << ctx.frac_bits)
+        q = securenn.division(ctx.next_key(), num, ay, **kw)
+        s = beaver.mul(ctx.next_key(), sx, sy)  # sign(x) sign(y)
+        return beaver.mul(ctx.next_key(), q, s)
+    raise ValueError(f"unknown div method {method!r}")
+
+
+def maxpool(ctx, x: AShare):
+    """(max, argmax-index) over the flattened tensor — the reference's
+    ``securenn.maxpool`` contract (``securenn.py:611-663``), computed
+    in fixed rounds via the pairwise one-hot instead of the
+    reference's O(n)-round sequential select_share scan."""
+    return max(ctx, x), argmax(ctx, x)
+
+
+def maxpool_deriv(ctx, x: AShare) -> AShare:
+    """One-hot of the (flattened) max position, shaped like ``x`` —
+    the reference's ``securenn.maxpool_deriv`` (``securenn.py:666-710``,
+    which opens a masked index and rolls a public one-hot; here the
+    pairwise one-hot is already oblivious). Integer bit shares."""
+    return argmax(ctx, x, one_hot=True)
 
 
 def inverse_sqrt(ctx, x: AShare, iterations: int = 7) -> AShare:
