@@ -210,6 +210,41 @@ class MpcEngine:
     def dropout(self, x: AShare, rate, key=None) -> AShare:
         return x  # inference mode
 
+    # ---- elementwise / structural ops for the RNN library (nn.rnn) ----
+
+    def sigmoid(self, x: AShare) -> AShare:
+        from primia_tpu.mpc import functions as F
+
+        return F.sigmoid(self.ctx, x)
+
+    def tanh(self, x: AShare) -> AShare:
+        from primia_tpu.mpc import functions as F
+
+        return F.tanh(self.ctx, x)
+
+    def mul(self, x: AShare, y: AShare) -> AShare:
+        return self._mul(x, y)
+
+    def split_last(self, x: AShare, k: int):
+        h = x.shape[-1] // k
+        return tuple(
+            AShare(x.data[..., i * h:(i + 1) * h]) for i in range(k))
+
+    def concat_last(self, xs):
+        return AShare(jnp.concatenate([x.data for x in xs], axis=-1))
+
+    def zeros(self, shape, like: AShare) -> AShare:
+        return AShare(jnp.zeros((2,) + tuple(shape), like.data.dtype))
+
+    def time_slice(self, x: AShare, t: int) -> AShare:
+        return AShare(x.data[:, t])
+
+    def stack_time(self, xs):
+        return S.stack(xs, axis=0)
+
+    def swap_time_batch(self, x: AShare) -> AShare:
+        return AShare(jnp.swapaxes(x.data, 1, 2))
+
 
 # ----------------------------------------------------------- sharing utils
 

@@ -119,6 +119,44 @@ class PlainEngine:
         keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
         return jnp.where(keep, x / (1.0 - rate), 0)
 
+    # ---- elementwise / structural ops for the RNN library (nn.rnn) ----
+
+    @staticmethod
+    def sigmoid(x):
+        return jax.nn.sigmoid(x)
+
+    @staticmethod
+    def tanh(x):
+        return jnp.tanh(x)
+
+    @staticmethod
+    def mul(x, y):
+        return x * y
+
+    @staticmethod
+    def split_last(x, k: int):
+        return tuple(jnp.split(x, k, axis=-1))
+
+    @staticmethod
+    def concat_last(xs):
+        return jnp.concatenate(xs, axis=-1)
+
+    @staticmethod
+    def zeros(shape, like):
+        return jnp.zeros(shape, like.dtype)
+
+    @staticmethod
+    def time_slice(x, t: int):
+        return x[t]
+
+    @staticmethod
+    def stack_time(xs):
+        return jnp.stack(xs, axis=0)
+
+    @staticmethod
+    def swap_time_batch(x):
+        return jnp.swapaxes(x, 0, 1)
+
 
 PLAIN = PlainEngine()
 
