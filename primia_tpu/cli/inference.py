@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Images per forward pass (the reference runs 1; larger batches "
         "amortize compile + MXU occupancy on TPU).",
     )
+    parser.add_argument(
+        "--mpc_batch_tile", type=int, default=None,
+        help="Encrypted path: run the share-space forward this many "
+        "images at a time under an on-device loop, bounding compile "
+        "size and live dealer material — lets batch_size (and high "
+        "resolutions) scale past the compiler. Default: whole batch "
+        "in one graph (fastest while it fits; use 8 for batch >16 "
+        "@224 px, 1 for 512 px).",
+    )
     return parser
 
 
@@ -97,6 +106,7 @@ def run(cmd_args) -> dict:
             model_def, args, mean, std,
             precision_fractional=args.precision_fractional or 16,
             protocol=cmd_args.protocol,
+            batch_tile=cmd_args.mpc_batch_tile,
         )
     else:
         predict = build_predict_step(model_def, args, mean, std)

@@ -59,10 +59,23 @@ def build_encrypted_predict(
     swap_pool_relu: bool = True,
     protocol: str = "snn",
     party_sharding=None,
+    batch_tile: Optional[int] = None,
 ):
     """Returns jitted ``predict(params, model_state, images_u8) -> logits``
     running the forward over secret shares; signature-compatible with the
     plain ``build_predict_step``.
+
+    ``batch_tile``: run the share-space forward ``batch_tile`` images at
+    a time under ``lax.map``. The monolithic graph holds every layer's
+    Beaver triples and comparison keys live at the full batch size,
+    which walls both the compiler and HBM past batch ~16 @ 224 px; the
+    tiled form traces the forward ONCE at the tile size and loops it,
+    so program size and live dealer material are constant in the batch
+    — batch (and, with tile 1, resolution) scale past the compiler
+    instead of around it. Each tile draws a fresh dealer stream
+    (``fold_in(tile_idx)``); tails are padded and sliced off. The
+    reference achieves the same unboundedness by looping images in
+    Python (``inference.py:292-321``) — here the loop is on-device.
 
     ``party_sharding``: optional ``jax.sharding.Sharding`` whose first
     partitioned dim is the party axis (e.g. ``NamedSharding(mesh,
@@ -95,23 +108,42 @@ def build_encrypted_predict(
         key = jax.random.PRNGKey(seed)
         k_model, k_data, k_online = jax.random.split(key, 3)
 
-        # model owner: fold BN, fix precision, share
+        # model owner: fold BN, fix precision, share (once, outside the
+        # tile loop — the parameter shares are batch-independent)
         folded = fold_bn_tree(params, model_state)
         shared_params = _pin_parties(encode_and_share(k_model, folded, frac))
 
-        # data owner: preprocess in plaintext, then share
-        x = images_u8.astype(jnp.float32) / 255.0
-        if use_clahe:
-            from primia_tpu.ops.image import clahe
+        def forward_tile(operand):
+            idx, imgs = operand
+            # data owner: preprocess in plaintext, then share
+            x = imgs.astype(jnp.float32) / 255.0
+            if use_clahe:
+                from primia_tpu.ops.image import clahe
 
-            x = clahe(x, clip_limit=1.0, tiles=8)
-        x = (x - mean_a) / std_a
-        x_shared = _pin_parties(encode_and_share(k_data, x, frac))
+                x = clahe(x, clip_limit=1.0, tiles=8)
+            x = (x - mean_a) / std_a
+            x_shared = _pin_parties(
+                encode_and_share(jax.random.fold_in(k_data, idx), x, frac))
 
-        E = MpcEngine(MpcContext(k_online, frac, protocol=protocol))
-        logits_shared, _ = model_def.forward(
-            shared_params, {}, x_shared, E=E, train=False, swap_pool_relu=swap
-        )
-        return reveal_and_decode(logits_shared, frac).astype(jnp.float32)
+            E = MpcEngine(MpcContext(
+                jax.random.fold_in(k_online, idx), frac, protocol=protocol))
+            logits_shared, _ = model_def.forward(
+                shared_params, {}, x_shared, E=E, train=False,
+                swap_pool_relu=swap
+            )
+            return reveal_and_decode(logits_shared, frac).astype(jnp.float32)
+
+        B = images_u8.shape[0]
+        if batch_tile is None or batch_tile >= B:
+            return forward_tile((jnp.int32(0), images_u8))
+        pad = (-B) % batch_tile
+        imgs = images_u8
+        if pad:
+            imgs = jnp.concatenate(
+                [imgs, jnp.repeat(imgs[:1], pad, axis=0)], axis=0)
+        n = imgs.shape[0] // batch_tile
+        tiles = imgs.reshape((n, batch_tile) + imgs.shape[1:])
+        out = jax.lax.map(forward_tile, (jnp.arange(n, dtype=jnp.int32), tiles))
+        return out.reshape((n * batch_tile,) + out.shape[2:])[:B]
 
     return jax.jit(predict)

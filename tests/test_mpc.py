@@ -298,6 +298,35 @@ def test_encrypted_inference_matches_plaintext(protocol):
     assert got.argmax(1).tolist() == want.argmax(1).tolist()
 
 
+def test_encrypted_inference_batch_tile_matches_plaintext():
+    """``batch_tile`` runs the share-space forward under an on-device
+    loop so program size is constant in the batch; the tiled form must
+    still match plaintext (fresh dealer stream per tile, padded tail
+    sliced off). Odd batch 5 with tile 2 exercises the padding path."""
+    from primia_tpu.config import Arguments
+    from primia_tpu.mpc.inference import build_encrypted_predict
+    from primia_tpu.nn import create_model
+    from primia_tpu.train.steps import build_predict_step
+
+    args = Arguments(model="simpleconv", train_resolution=28,
+                     inference_resolution=28, pooling_type="max")
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(10)
+    imgs = rng.integers(0, 255, (5, 28, 28, 1), dtype=np.uint8)
+    mean, std = np.array([0.5]), np.array([0.25])
+
+    plain = build_predict_step(md, args, mean, std)
+    want = np.asarray(plain(params, state, imgs))
+
+    enc = build_encrypted_predict(md, args, mean, std, seed=1, batch_tile=2)
+    got = np.asarray(enc(params, state, imgs))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0.02, rtol=0)
+    assert got.argmax(1).tolist() == want.argmax(1).tolist()
+
+
 # ---------------------------------------------------------- ring limb ops
 
 def test_limb_matmul_matches_native():

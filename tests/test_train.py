@@ -296,6 +296,16 @@ def test_fit_end_to_end(fixture_dir, tmp_path, monkeypatch):
     assert set(out) == {"Inference Results"}
     assert len(out["Inference Results"]) == 4
 
+    # encrypted inference CLI with the on-device batch tiling
+    # (--mpc_batch_tile): same predictions as the plain path
+    class AEnc(A):
+        encrypted_inference = True
+        protocol = "snn"
+        mpc_batch_tile = 2
+
+    out_enc = infer_run(AEnc())
+    assert out_enc["Inference Results"] == out["Inference Results"]
+
 
 def test_resume_four_way(tmp_path, fixture_dir):
     """The reference's 4 (was-federated x is-federated) resume
