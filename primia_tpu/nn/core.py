@@ -238,9 +238,14 @@ def batch_norm(
     # dtype — otherwise f32 running stats promote a bfloat16 forward to
     # f32 and the next conv trips on mixed dtypes (the DP step runs its
     # per-example forwards in eval mode under the compute dtype)
-    inv = params["gamma"].astype(jnp.float32) * jax.lax.rsqrt(state["var"] + eps)
+    r = jax.lax.rsqrt(state["var"].astype(jnp.float32) + eps)
+    inv = params["gamma"].astype(jnp.float32) * r
     off = params["beta"].astype(jnp.float32) - state["mean"] * inv
     y = E.affine(x, inv.astype(x.dtype), off.astype(x.dtype))
+    if hasattr(E, "bn_meta"):
+        # ghost-norm DP needs (mean, rsqrt(var+eps)) to chain the affine
+        # cotangents back to the trainable (gamma, beta) — see train/dp.py
+        E.bn_meta(state["mean"].astype(jnp.float32), r)
     return y, state
 
 

@@ -149,6 +149,122 @@ class TestDpStep:
         assert np.isfinite(float(loss))
 
 
+class TestGhostDpStep:
+    """Ghost-norm clipping (no per-example grads materialized) must be
+    a drop-in for the microbatched path: same clipping math, same
+    noise/mask/tail semantics."""
+
+    def test_matches_manual_clipped_average(self):
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args, md, opt, ts, imgs, labels, mask = _setup(B=6, noise=0.0, clip=0.05)
+        step = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                         np.array([0.25]), donate=False)
+        lr = 0.1
+        ts2, loss = step(ts, jax.random.PRNGKey(1), imgs, labels, mask, lr)
+
+        from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+        x = build_augment_fn(AugmentConfig.from_args(args),
+                             np.array([0.5]), np.array([0.25]), 1)(
+            jax.random.split(jax.random.PRNGKey(1))[0], imgs)
+        want = _manual_dp_grads(md, args, ts, x, labels, clip=0.05)
+        for p0, p1, g in zip(jax.tree.leaves(ts.params),
+                             jax.tree.leaves(ts2.params),
+                             jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
+                rtol=2e-2, atol=2e-4)
+
+    def test_matches_microbatch_path(self):
+        """Ghost and microbatched steps agree leaf-for-leaf at sigma=0
+        (both compute sum_i min(1, C/||g_i||) g_i / B exactly)."""
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args, md, opt, ts, imgs, labels, mask = _setup(B=8, noise=0.0, clip=0.1)
+        sg = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                       np.array([0.25]), donate=False)
+        sm = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                 np.array([0.25]), microbatch=4, donate=False)
+        tg, lg = sg(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        tm, lm = sm(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        np.testing.assert_allclose(float(lg), float(lm), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(tg.params), jax.tree.leaves(tm.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_masked_rows_contribute_nothing(self):
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args, md, opt, ts, imgs, labels, mask = _setup(B=8, noise=0.0)
+        step = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                         np.array([0.25]), donate=False)
+        m = mask.at[6:].set(0.0)
+        ts_m, _ = step(ts, jax.random.PRNGKey(3), imgs, labels, m, 0.05)
+        imgs2 = imgs.at[6:].set(255 - imgs[6:])
+        ts_c, _ = step(ts, jax.random.PRNGKey(3), imgs2, labels, m, 0.05)
+        for a, b in zip(jax.tree.leaves(ts_m.params),
+                        jax.tree.leaves(ts_c.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_resnet_bn_layers_clip_correctly(self):
+        """ResNet-18 exercises the conv-ghost decision, strided convs,
+        BN gamma/beta chaining, and the fc layer; the ghost update must
+        match the manual per-example formulation."""
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args = Arguments(model="resnet-18", train_resolution=32,
+                         inference_resolution=32, batch_size=4,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=0.05)
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(7)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4, dtype=np.int32))
+        mask = jnp.ones(4, jnp.float32)
+
+        step = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                         np.array([0.25]), donate=False)
+        lr = 0.1
+        ts2, _ = step(ts, jax.random.PRNGKey(1), imgs, labels, mask, lr)
+
+        from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+        x = build_augment_fn(AugmentConfig.from_args(args),
+                             np.array([0.5]), np.array([0.25]), 1)(
+            jax.random.split(jax.random.PRNGKey(1))[0], imgs)
+        want = _manual_dp_grads(md, args, ts, x, labels, clip=0.05)
+        for p0, p1, g in zip(jax.tree.leaves(ts.params),
+                             jax.tree.leaves(ts2.params),
+                             jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
+                rtol=2e-2, atol=2e-4)
+
+    def test_bf16_compute_dtype_runs(self):
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args = Arguments(model="resnet-18", train_resolution=32,
+                         inference_resolution=32, batch_size=4,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=1.0,
+                         compute_dtype="bfloat16")
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4, dtype=np.int32))
+        step = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                         np.array([0.25]))
+        ts2, loss = step(ts, jax.random.PRNGKey(1), imgs, labels,
+                         jnp.ones(4, jnp.float32), 1e-3)
+        assert np.isfinite(float(loss))
+
+
 class TestRdpAccounting:
     def test_epsilon_grows_with_steps(self):
         e1, _ = rdp_epsilon(noise_multiplier=1.3, sample_rate=0.04, steps=100)
