@@ -34,6 +34,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy compile checks (e.g. encrypted VGG-16); skipped "
+        "unless PRIMIA_RUN_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("PRIMIA_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: set PRIMIA_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

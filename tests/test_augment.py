@@ -155,21 +155,23 @@ def test_clahe_mxu_matches_gather(rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-def test_lab_roundtrip_identity(rng):
+def test_lab_roundtrip_identity():
     """rgb -> LAB(u8 scale) -> rgb. Unquantized LAB must reproduce
     every uint8 level to within 1 level (the math is an exact inverse;
     the only freedom is f32 rounding). With LAB quantized to uint8 —
     what cv2's 8-bit pipeline stores — dark and saturated colours may
     move many levels (L packs 100 points into 255 levels, and the sRGB
-    gamma steepens the dark end); cv2 itself loses up to 18 levels on
-    the same roundtrip."""
+    gamma steepens the dark end): the exhaustive worst case over the
+    full 256^3 cube is 26 levels. Local deterministic pixels (NOT the
+    shared session rng — the draw must not depend on test order)."""
     from primia_tpu.ops import image as I
 
-    x = jnp.asarray(rng.integers(0, 256, (2, 17, 19, 3)), jnp.float32) / 255.0
+    local = np.random.default_rng(42)
+    x = jnp.asarray(local.integers(0, 256, (2, 17, 19, 3)), jnp.float32) / 255.0
     back = np.asarray(I.lab_u8_to_rgb(I.rgb_to_lab_u8(x)))
     assert np.abs(back - np.asarray(x)).max() <= 1.01 / 255.0
     back_q = np.asarray(I.lab_u8_to_rgb(jnp.round(I.rgb_to_lab_u8(x))))
-    assert np.abs(back_q - np.asarray(x)).max() <= 18.0 / 255.0
+    assert np.abs(back_q - np.asarray(x)).max() <= 26.01 / 255.0
 
 
 def test_lab_gray_is_neutral(rng):

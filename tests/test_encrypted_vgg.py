@@ -1,0 +1,53 @@
+"""Encrypted VGG-16 parity — engine-generality over the model zoo.
+
+The reference shares ANY zoo model at its configured resolution for
+SMPC inference (``inference.py:279-286``); these tests pin that the
+engine-generic share-space interpreter handles VGG-16's 13 convs +
+bias adds + classifier stack, at 32 px (fast enough for an opt-in CI
+lane) and at the reference's 224 px operating point via the tiled
+forward (``batch_tile=1`` bounds compile size per VERDICT round-2
+item 1).
+
+Heavy compiles — marked slow; run with ``PRIMIA_RUN_SLOW=1 python -m
+pytest tests/test_encrypted_vgg.py``. Replaces the manually-run
+``tools/parity_vgg_encrypted.py`` so the check cannot rot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from primia_tpu.config import Arguments
+from primia_tpu.mpc.inference import build_encrypted_predict
+from primia_tpu.nn import create_model
+from primia_tpu.train.steps import build_predict_step
+
+
+def _parity(res: int, batch_tile=None, batch: int = 1):
+    args = Arguments(model="vgg16", train_resolution=res,
+                     inference_resolution=res, pooling_type="max")
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, (batch, res, res, 1), dtype=np.uint8)
+    mean, std = np.array([0.5]), np.array([0.25])
+
+    want = np.asarray(
+        build_predict_step(md, args, mean, std)(params, state, imgs))
+    enc = build_encrypted_predict(md, args, mean, std, seed=1,
+                                  protocol="snn", batch_tile=batch_tile)
+    got = np.asarray(enc(params, state, imgs))
+    assert np.abs(got - want).max() < 0.02
+    assert (got.argmax(1) == want.argmax(1)).all()
+
+
+@pytest.mark.slow
+def test_encrypted_vgg16_32px_matches_plaintext():
+    _parity(32)
+
+
+@pytest.mark.slow
+def test_encrypted_vgg16_224px_matches_plaintext():
+    """The reference's operating point (vgg16 default resolution)."""
+    _parity(224, batch_tile=1)
