@@ -158,8 +158,6 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
 
     if args.differentially_private:
-        import os
-
         # ghost-norm clipping by default: per-example grad NORMS in
         # closed form + a reweighted second backward — ~2x the
         # non-private step instead of the microbatched per-example
