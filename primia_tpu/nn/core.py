@@ -245,7 +245,8 @@ def batch_norm(
     if hasattr(E, "bn_meta"):
         # ghost-norm DP needs (mean, rsqrt(var+eps)) to chain the affine
         # cotangents back to the trainable (gamma, beta) — see train/dp.py
-        E.bn_meta(state["mean"].astype(jnp.float32), r)
+        E.bn_meta(state["mean"].astype(jnp.float32), r,
+                  params["gamma"], params["beta"])
     return y, state
 
 

@@ -137,11 +137,16 @@ class _GhostEngine:
     """Engine wrapper for ghost-norm DP: delegates every op to PLAIN,
     but (a) adds a zero "tap" to each parameterized op's output so a
     single ``jax.vjp`` exposes that layer's per-example output
-    cotangent, and (b) records the op's input + static metadata, from
+    cotangent, (b) records the op's input + static metadata, from
     which per-example gradient *norms* are computed in closed form —
     without ever materializing per-example gradients (Goodfellow 2015
     for linear/affine; the ghost inner-product trick of Bu et al. 2022
-    for convolutions where the T^2 form is cheaper).
+    for convolutions where the T^2 form is cheaper) — and (c) keeps a
+    reference to each op's parameter leaves so the clipped-sum
+    gradient can be assembled analytically (no second backward pass:
+    examples are independent in the eval-mode forward, so each
+    example's contribution to any weight gradient scales linearly with
+    its loss cotangent).
 
     ``taps=None`` puts the engine in probe mode (under
     ``jax.eval_shape``): it only collects tap shapes.
@@ -154,6 +159,7 @@ class _GhostEngine:
         self.i = 0
         self.meta = []      # static per-record dicts (same order as taps)
         self.captured = []  # per-record tuples of traced arrays
+        self.refs = []      # per-record tuples of parameter leaves
         self.tap_specs = []
 
     def _tap(self, y):
@@ -176,25 +182,30 @@ class _GhostEngine:
         self.meta.append(dict(kind="conv", stride=stride, padding=padding,
                               wshape=w.shape, ghost=T * (K + cout) < K * cout))
         self.captured.append((x,))
+        self.refs.append((w,))
         return self._tap(y)
 
     def bias_add(self, x, b):
         self.meta.append(dict(kind="bias"))
         self.captured.append(())
+        self.refs.append((b,))
         return self._tap(x + b)
 
     def affine(self, x, scale, offset):
         y = x * scale + offset
         self.meta.append(dict(kind="affine"))
         self.captured.append((x,))
+        self.refs.append((scale, offset))
         return self._tap(y)
 
-    def bn_meta(self, mean, r):
+    def bn_meta(self, mean, r, gamma, beta):
         """Called by core.batch_norm right after its eval-mode affine:
-        upgrades the record so norms chain to (gamma, beta) exactly."""
+        upgrades the record so norms/grads chain to (gamma, beta)
+        exactly (a = gamma*r, b = beta - mean*gamma*r)."""
         assert self.meta[-1]["kind"] == "affine"
         self.meta[-1]["kind"] = "bn"
         self.captured[-1] = self.captured[-1] + (mean, r)
+        self.refs[-1] = (gamma, beta)
 
     def linear(self, x, w, b=None):
         from primia_tpu.nn.core import PLAIN
@@ -202,6 +213,7 @@ class _GhostEngine:
         y = PLAIN.linear(x, w, b)
         self.meta.append(dict(kind="linear", bias=b is not None))
         self.captured.append((x,))
+        self.refs.append((w,) if b is None else (w, b))
         return self._tap(y)
 
     def __getattr__(self, name):
@@ -210,24 +222,27 @@ class _GhostEngine:
         return getattr(PLAIN, name)
 
 
-def _ghost_sq_norms(meta, captured, dtaps):
-    """Per-example squared L2 norm of the full parameter gradient,
-    assembled layer-by-layer from (input, output-cotangent) pairs."""
-    from primia_tpu.nn.core import PLAIN
-
+def _ghost_layer_stats(meta, captured, dtaps):
+    """Sweep 1: per-example squared L2 norm of the full parameter
+    gradient, assembled layer-by-layer from (input, output-cotangent)
+    pairs, plus the small per-example per-channel stats ([B, C]) the
+    weighted-grad sweep reuses. Returns (sq_norms [B] f32, stats)."""
     f32 = jnp.float32
     total = 0.0
+    stats = []
     for m, cap, dy in zip(meta, captured, dtaps):
         kind = m["kind"]
+        st = {}
         if kind == "conv":
             (x,) = cap
             kh, kw, cin, cout = m["wshape"]
             s, p = m["stride"], m["padding"]
             B = x.shape[0]
+            pat = jax.lax.conv_general_dilated_patches(
+                x, (kh, kw), (s, s), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             if m["ghost"]:
-                pat = jax.lax.conv_general_dilated_patches(
-                    x, (kh, kw), (s, s), ((p, p), (p, p)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                # T^2 inner-product form: ||G_i||^2 = <XX^T, DD^T>
                 pat = pat.reshape(B, -1, kh * kw * cin)
                 dyf = dy.reshape(B, -1, cout)
                 sx = jnp.einsum("btk,bsk->bts", pat, pat,
@@ -236,21 +251,22 @@ def _ghost_sq_norms(meta, captured, dtaps):
                                 preferred_element_type=f32)
                 total = total + jnp.einsum("bts,bts->b", sx, sd)
             else:
-                wz = jnp.zeros(m["wshape"], x.dtype)
-
-                def wgrad_sq(xi, dyi, _s=s, _p=p, _wz=wz):
-                    _, vjp = jax.vjp(
-                        lambda w: PLAIN.conv2d(xi[None], w, stride=_s,
-                                               padding=_p), _wz)
-                    (g,) = vjp(dyi[None])
-                    return jnp.sum(jnp.square(g.astype(f32)))
-
-                total = total + jax.vmap(wgrad_sq)(x, dy)
+                # materialize the per-example weight grad as ONE batched
+                # matmul (MXU): same MAC count as the shared weight grad.
+                # Contract the spatial dims in 4D — reshaping to
+                # (B, T, K) first forces XLA relayout copies of the
+                # patch buffer (~9 ms/step measured). (A vmapped
+                # conv-vjp here was worse still: ~2%-of-roof reduce
+                # fusions, 160 ms/step.)
+                g = jnp.einsum("bhwk,bhwc->bkc", pat, dy,
+                               preferred_element_type=f32)
+                total = total + jnp.sum(jnp.square(g), axis=(1, 2))
         elif kind == "bias":
             df = dy.astype(f32)
             gb = jnp.sum(df, axis=tuple(range(1, dy.ndim - 1))) \
                 if dy.ndim > 2 else df
             total = total + jnp.sum(jnp.square(gb), axis=-1)
+            st["gb"] = gb
         elif kind == "linear":
             (x,) = cap
             xs = jnp.sum(jnp.square(x.astype(f32)), axis=-1)
@@ -268,7 +284,49 @@ def _ghost_sq_norms(meta, captured, dtaps):
                 # g_gamma = r*(g_a - mean*g_b), g_beta = g_b
                 ga = r * (ga - mean * gb)
             total = total + jnp.sum(jnp.square(ga) + jnp.square(gb), axis=-1)
-    return total
+            st["ga"], st["gb"] = ga, gb
+        stats.append(st)
+    return total, stats
+
+
+def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
+    """Sweep 2: the clipped-and-summed gradient sum_i c_i * g_i per
+    parameter, assembled from the captured tensors — examples are
+    independent in the eval-mode forward, so each layer's pass-1
+    cotangent scales linearly per example and NO second backward pass
+    is needed. Conv weight grads go through the layer's own conv-vjp
+    with the c-scaled cotangent (XLA's native, efficient weight-grad
+    conv); everything else is a small einsum over the [B, C] stats.
+    Returns a list of (param_leaf_refs, grads) per record."""
+    from primia_tpu.nn.core import PLAIN
+
+    f32 = jnp.float32
+    out = []
+    for m, cap, dy, st in zip(meta, captured, dtaps, stats):
+        kind = m["kind"]
+        if kind == "conv":
+            (x,) = cap
+            s, p = m["stride"], m["padding"]
+            dyc = (dy.astype(f32)
+                   * factor[(...,) + (None,) * (dy.ndim - 1)]).astype(dy.dtype)
+            _, vjp_w = jax.vjp(
+                lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p),
+                jnp.zeros(m["wshape"], x.dtype))
+            (gw,) = vjp_w(dyc)
+            out.append((gw,))
+        elif kind == "bias":
+            out.append((jnp.einsum("b,bc->c", factor, st["gb"]),))
+        elif kind == "linear":
+            (x,) = cap
+            xc = x.astype(f32) * factor[:, None]
+            df = dy.astype(f32)
+            gw = jnp.einsum("bk,bc->kc", xc, df)
+            out.append((gw, jnp.einsum("b,bc->c", factor, df))
+                       if m["bias"] else (gw,))
+        else:  # "bn" / "affine"
+            out.append((jnp.einsum("b,bc->c", factor, st["ga"]),
+                        jnp.einsum("b,bc->c", factor, st["gb"])))
+    return out
 
 
 def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
@@ -277,24 +335,26 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
     """Ghost-clipping DP step: same contract and DP semantics as
     ``build_dp_train_step`` (clip each per-example grad to
     ``max_grad_norm``, sum, noise, /batch), but per-example gradients
-    are never materialized. One forward, then two backward passes
-    through a single ``jax.vjp``:
+    are never materialized — and there is only ONE backward pass:
 
-    1. cotangent = ones: exposes every layer's per-example output
-       cotangent via zero "taps" added to layer outputs; closed-form
-       per-layer norms (``_ghost_sq_norms``) give each example's full
-       gradient norm.
-    2. cotangent = clip factors: because examples are independent in
-       the eval-mode forward, ``vjp(c)`` IS the clipped-and-summed
-       gradient — exactly, not approximately.
+    1. ``jax.vjp`` over the zero "taps" (cotangent = ones) exposes
+       every layer's per-example output cotangent; the parameters are
+       NOT vjp inputs, so the backward contains no weight-gradient
+       convs at all — just the input-cotangent chain.
+    2. closed-form per-layer inner products (``_ghost_layer_stats``)
+       give each example's full gradient norm, hence its clip factor.
+    3. because examples are independent in the eval-mode forward, the
+       cotangent of example i under loss weighting c_i is c_i times
+       its pass-1 cotangent — so the clipped-and-summed weight
+       gradients are assembled analytically from the captured
+       (input, cotangent) pairs (``_ghost_weighted_grads``), exactly.
 
-    XLA dead-code-eliminates the unused weight-gradient half of pass 1
-    and the unused tap cotangents of pass 2, so the step costs about
-    one forward + two input-gradient backward sweeps + one weight
-    sweep: ~2x the non-private step, vs ~3.5x for the microbatched
-    per-example path. Class-weight note: per-example hard-label CE
-    normalizes each example's weight away (w_y*ce/w_y), matching the
-    microbatched path's semantics exactly.
+    Total cost ~ one forward + one input-grad backward + one
+    weight-grad sweep + the norm einsums: ~2x the non-private step,
+    vs ~3.5x for the microbatched per-example path. Class-weight
+    note: per-example hard-label CE normalizes each example's weight
+    away (w_y*ce/w_y), matching the microbatched path's semantics
+    exactly.
     """
     from primia_tpu.nn.core import tree_cast
     from primia_tpu.train.steps import resolve_compute_dtype
@@ -311,10 +371,14 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
         ms = ts.model_state
         holder = {}
 
-        def run(p, taps):
+        pc = tree_cast(ts.params, cdtype)
+        # (path, leaf) pairs held strongly: leaf ids key the analytic
+        # gradient assembly back onto the parameter tree
+        pc_pairs, pc_treedef = jax.tree_util.tree_flatten_with_path(pc)
+
+        def run(taps):
             ge = _GhostEngine(taps)
             holder["ge"] = ge
-            pc = tree_cast(p, cdtype)
             logits, _ = model_def.forward(pc, ms, x, E=ge, train=False)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
             lvec = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
@@ -323,21 +387,36 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
         # probe (abstract eval, no FLOPs) for the tap shapes
         probe = _GhostEngine(None)
 
-        def probe_fn(p, ms_, x_):
-            pc = tree_cast(p, cdtype)
-            logits, _ = model_def.forward(pc, ms_, x_, E=probe, train=False)
+        def probe_fn(p_, ms_, x_):
+            logits, _ = model_def.forward(p_, ms_, x_, E=probe, train=False)
             return logits
 
         sds = lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype)
-        jax.eval_shape(probe_fn, jax.tree.map(sds, ts.params),
+        jax.eval_shape(probe_fn, jax.tree.map(sds, pc),
                        jax.tree.map(sds, ms), sds(x))
         taps = tuple(jnp.zeros(s, d) for (s, d) in probe.tap_specs)
 
-        lvec, vjp_fn, captured = jax.vjp(run, ts.params, taps, has_aux=True)
-        _, dtaps = vjp_fn(jnp.ones_like(lvec))
-        sq = _ghost_sq_norms(holder["ge"].meta, captured, dtaps)
+        lvec, vjp_fn, captured = jax.vjp(run, taps, has_aux=True)
+        (dtaps,) = vjp_fn(jnp.ones_like(lvec))
+        ge = holder["ge"]
+        sq, layer_stats = _ghost_layer_stats(ge.meta, captured, dtaps)
         factor = jnp.minimum(1.0, clip / jnp.sqrt(sq + 1e-12)) * mask
-        summed, _ = vjp_fn(factor)
+        contribs = _ghost_weighted_grads(ge.meta, captured, dtaps,
+                                         layer_stats, factor)
+        grad_map = {}
+        for refs, gs in zip(ge.refs, contribs):
+            for ref, g in zip(refs, gs):
+                prev = grad_map.get(id(ref))
+                g = g.astype(jnp.float32)
+                grad_map[id(ref)] = g if prev is None else prev + g
+        flat = []
+        for _, leaf in pc_pairs:
+            g = grad_map.pop(id(leaf), None)
+            flat.append(jnp.zeros(leaf.shape, jnp.float32) if g is None else g)
+        assert not grad_map, (
+            "ghost DP: an engine op received a parameter that is not a "
+            "leaf of the params tree — its gradient cannot be placed")
+        summed = jax.tree.unflatten(pc_treedef, flat)
         loss_sum = jnp.sum(lvec * mask)
 
         nkeys = jax.random.split(k_noise, len(jax.tree.leaves(summed)))
