@@ -237,12 +237,12 @@ def _ghost_layer_stats(meta, captured, dtaps):
             (x,) = cap
             kh, kw, cin, cout = m["wshape"]
             s, p = m["stride"], m["padding"]
-            B = x.shape[0]
-            pat = jax.lax.conv_general_dilated_patches(
-                x, (kh, kw), (s, s), ((p, p), (p, p)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            B, Ho, Wo = dy.shape[0], dy.shape[1], dy.shape[2]
             if m["ghost"]:
                 # T^2 inner-product form: ||G_i||^2 = <XX^T, DD^T>
+                pat = jax.lax.conv_general_dilated_patches(
+                    x, (kh, kw), (s, s), ((p, p), (p, p)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 pat = pat.reshape(B, -1, kh * kw * cin)
                 dyf = dy.reshape(B, -1, cout)
                 sx = jnp.einsum("btk,bsk->bts", pat, pat,
@@ -250,14 +250,39 @@ def _ghost_layer_stats(meta, captured, dtaps):
                 sd = jnp.einsum("btc,bsc->bts", dyf, dyf,
                                 preferred_element_type=f32)
                 total = total + jnp.einsum("bts,bts->b", sx, sd)
+            elif kh * kw * (x.size // (s * s) + dy.size) \
+                    <= 2 * Ho * Wo * kh * kw * cin * B + dy.size:
+                # per-tap shifted batched matmuls: squares are
+                # elementwise over the K axis, so the full-norm sum
+                # splits exactly across the kh*kw taps. No patch buffer
+                # at all — measured 4.3x faster than the patches route
+                # at layer1 shapes (slices fuse into the dot reads).
+                xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+                for di in range(kh):
+                    for dj in range(kw):
+                        xs = jax.lax.slice(
+                            xp, (0, di, dj, 0),
+                            (B, di + (Ho - 1) * s + 1,
+                             dj + (Wo - 1) * s + 1, cin),
+                            (1, s, s, 1))
+                        g = jnp.einsum("bhwi,bhwo->bio", xs, dy,
+                                       preferred_element_type=f32)
+                        total = total + jnp.sum(jnp.square(g), axis=(1, 2))
             else:
-                # materialize the per-example weight grad as ONE batched
-                # matmul (MXU): same MAC count as the shared weight grad.
-                # Contract the spatial dims in 4D — reshaping to
-                # (B, T, K) first forces XLA relayout copies of the
-                # patch buffer (~9 ms/step measured). (A vmapped
-                # conv-vjp here was worse still: ~2%-of-roof reduce
-                # fusions, 160 ms/step.)
+                # many taps x a large dy (the 7x7/s2 stem): one patch
+                # buffer, built by concat of strided slices — the
+                # conv_general_dilated_patches lowering builds at 35%
+                # of the HBM roof and then relayouts for the einsum
+                # (~5 ms/step on conv1); plain concat hits copy speed
+                # in the layout the einsum wants.
+                xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+                pat = jnp.concatenate([
+                    jax.lax.slice(
+                        xp, (0, di, dj, 0),
+                        (B, di + (Ho - 1) * s + 1,
+                         dj + (Wo - 1) * s + 1, cin),
+                        (1, s, s, 1))
+                    for di in range(kh) for dj in range(kw)], axis=-1)
                 g = jnp.einsum("bhwk,bhwc->bkc", pat, dy,
                                preferred_element_type=f32)
                 total = total + jnp.sum(jnp.square(g), axis=(1, 2))
@@ -306,12 +331,22 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
         kind = m["kind"]
         if kind == "conv":
             (x,) = cap
+            kh, kw = m["wshape"][:2]
             s, p = m["stride"], m["padding"]
             dyc = (dy.astype(f32)
                    * factor[(...,) + (None,) * (dy.ndim - 1)]).astype(dy.dtype)
-            _, vjp_w = jax.vjp(
-                lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p),
-                jnp.zeros(m["wshape"], x.dtype))
+            if s == 2 and kh == 7 and kw == 7 and p == 3 \
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                # the 7x7/s2 stem: the space-to-depth rewrite makes the
+                # weight-grad conv unit-stride (see nn/resnet.py) —
+                # XLA's strided wgrad for this layer runs at ~28% of
+                # the HBM roof (1.7 ms/step measured)
+                from primia_tpu.nn.resnet import _stem_s2d_conv
+
+                conv_fn = lambda w_: _stem_s2d_conv(x, w_)
+            else:
+                conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
+            _, vjp_w = jax.vjp(conv_fn, jnp.zeros(m["wshape"], x.dtype))
             (gw,) = vjp_w(dyc)
             out.append((gw,))
         elif kind == "bias":
