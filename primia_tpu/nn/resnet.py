@@ -90,6 +90,28 @@ def _basic_block_forward(p, s, x, *, E, train, stride):
     return out, new_s
 
 
+def _stem_s2d_conv(x, w1):
+    """conv1 as a space-to-depth conv (MLPerf-ResNet TPU stem trick):
+    the 7x7/s2/p3 conv equals a 4x4/s1 conv over the 2x2
+    space-to-depth input with the kernel zero-padded to 8x8 at the
+    top-left (y[i,j] = sum_a x[2i+a-4] w8[a], a=2p+q => one s1 conv
+    with asymmetric (2,1) padding on the s2d grid). Identical
+    arithmetic, but the weight-gradient conv becomes unit-stride —
+    XLA lowers strided wgrads as dilated convs that run far below the
+    HBM roof (BASELINE.md round-2: conv1 wgrad 2.1 ms at 41%)."""
+    B, H, W, C = x.shape
+    x2 = (x.reshape(B, H // 2, 2, W // 2, 2, C)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(B, H // 2, W // 2, 4 * C))
+    w8 = jnp.pad(w1, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = (w8.reshape(4, 2, 4, 2, C, w1.shape[-1])
+          .transpose(0, 2, 1, 3, 4, 5)
+          .reshape(4, 4, 4 * C, w1.shape[-1]))
+    return jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def resnet_forward(
     params,
     state,
@@ -101,15 +123,26 @@ def resnet_forward(
     pooling: str = "max",
     input_size: int = 224,
     swap_pool_relu: bool = False,
+    stem_s2d: bool = False,
     rng=None,
 ):
-    """Returns (logits, new_state). x is NHWC."""
+    """Returns (logits, new_state). x is NHWC.
+
+    ``stem_s2d``: plaintext-only exact rewrite of conv1 for the
+    training hot path (see ``_stem_s2d_conv``); requires even spatial
+    dims and is ignored for share-space engines (the Beaver conv
+    correlations are already op-shaped).
+    """
     del rng  # no dropout in resnet
     w1 = params["conv1"]["w"]
     if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(w1.dtype)  # x64 mode makes f64 the default literal dtype
     new_state: Dict[str, Any] = {}
-    out = E.conv2d(x, w1, stride=2, padding=3)
+    if (stem_s2d and getattr(E, "name", "") == "plain"
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        out = _stem_s2d_conv(x, w1)
+    else:
+        out = E.conv2d(x, w1, stride=2, padding=3)
     out, new_state["bn1"] = batch_norm(E, out, params["bn1"], state.get("bn1"), train)
 
     def stem_pool(t):

@@ -71,6 +71,14 @@ def build_train_step(model_def, optimizer, args, mean, std,
     onehot = uses_onehot_loss(args)
     nc = model_def.num_classes
     cdtype = resolve_compute_dtype(args)
+    # space-to-depth stem for the training hot path (exact rewrite of
+    # the strided conv1; see nn/resnet.py). PRIMIA_STEM_S2D=0 disables.
+    import os
+
+    fwd_kw = {}
+    if (model_def.name == "resnet-18"
+            and os.environ.get("PRIMIA_STEM_S2D", "1") != "0"):
+        fwd_kw["stem_s2d"] = True
 
     def step(ts: TrainState, key, images_u8, labels, mask, lr):
         k_aug, k_mix = jax.random.split(key)
@@ -86,7 +94,7 @@ def build_train_step(model_def, optimizer, args, mean, std,
             # mixed precision: bf16 compute against fp32 master params;
             # grads come back fp32 through the cast
             logits, new_ms = model_def.forward(
-                tree_cast(p, cdtype), ts.model_state, x, train=True
+                tree_cast(p, cdtype), ts.model_state, x, train=True, **fwd_kw
             )
             logits = logits.astype(jnp.float32)
             if onehot:

@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PRIMIA_TEST_TPU=1 keeps the session's real backend (one TPU chip) —
+# for the slow encrypted-model tests whose share-space convs are
+# impractical on CPU (e.g. test_encrypted_vgg @ 224 px). Mesh-shaped
+# tests need the 8-device CPU default and will fail on one chip.
+if os.environ.get("PRIMIA_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the MPC e2e graphs take minutes to
 # compile cold; cached re-runs of the suite are seconds.
 jax.config.update("jax_compilation_cache_dir", "/tmp/primia_jax_cache")

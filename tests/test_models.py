@@ -193,3 +193,18 @@ def test_swap_pool_relu_identity_for_maxpool():
     b, _ = resnet18_forward(params, state, x, pooling="max", input_size=32,
                             swap_pool_relu=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stem_s2d_exact_rewrite():
+    """The space-to-depth stem (training hot path) is an arithmetic
+    identity for conv1: logits must match the strided formulation, in
+    train mode too (BN batch stats see the same conv output)."""
+    params, state = resnet18_init(jax.random.key(7), num_classes=3, in_channels=3)
+    x = jax.random.normal(jax.random.key(8), (2, 64, 64, 3), jnp.float32)
+    a, sa = resnet18_forward(params, state, x, pooling="max", input_size=64,
+                             train=True, stem_s2d=False)
+    b, sb = resnet18_forward(params, state, x, pooling="max", input_size=64,
+                             train=True, stem_s2d=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa["bn1"]["mean"]),
+                               np.asarray(sb["bn1"]["mean"]), rtol=1e-5, atol=1e-6)

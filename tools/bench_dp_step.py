@@ -28,7 +28,8 @@ args = Arguments(model="resnet-18", train_resolution=224,
                  clahe=True, randomgamma=True, randombrightness=True,
                  blur=True, elastic=True, optical_distortion=True,
                  grid_distortion=True, fog=True, rotation=30, scale=0.15,
-                 shear=10, mixup=False, noise_std=0.05, noise_prob=0.5,
+                 shear=10, pretrained=True, mixup=False,
+                 noise_std=0.05, noise_prob=0.5,
                  differentially_private=True, noise_multiplier=1.3,
                  max_grad_norm=1.0, compute_dtype="bfloat16")
 md = create_model(args, num_classes=3)
@@ -43,7 +44,10 @@ mean, std = np.array([0.5] * 3), np.array([0.25] * 3)
 
 
 def run(name, build, **kw):
-    ts = TrainState(params, state, opt.init(params))
+    # fresh copies: the step donates its TrainState, which would
+    # otherwise free the shared `params` buffers and break the next case
+    ts = TrainState(jax.tree.map(jnp.copy, params),
+                    jax.tree.map(jnp.copy, state), opt.init(params))
     step = build(md, opt, args, mean, std, **kw)
     key = jax.random.PRNGKey(1)
     for _ in range(3):
