@@ -25,7 +25,10 @@ import jax as _jax
 # image exports JAX_PLATFORMS=axon — that explicit pin must win).
 _plat = _os.environ.get("JAX_PLATFORMS")
 _cur = getattr(_jax.config, "jax_platforms", None)
-if _plat and _cur in (None, "", _plat, "axon"):
+# "axon"/"axon,cpu" are image defaults (seeded through jax.config, so
+# they outrank the env var even though the user never chose them) —
+# treat them as overridable; an in-process pin to anything else wins.
+if _plat and (_cur in (None, "", _plat) or "axon" in str(_cur)):
     try:
         _jax.config.update("jax_platforms", _plat)
     except Exception:
