@@ -213,13 +213,26 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # cost; augmentation is distributional, 8 mantissa bits suffice);
         # the final normalize promotes back to float32
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        # vertical flip, hoisted from its reference position (after
+        # CLAHE, albumentations order) to the uint8 input: a u8
+        # reverse+select fuses into the dtype-convert pass instead of
+        # costing two full bf16 passes mid-pipeline. Exactly
+        # distribution-preserving: flip conjugates the affine draw
+        # (theta, shear, ty sign-flip — all symmetric uniforms), mirrors
+        # the crop offset (uniform), and commutes with CLAHE outright
+        # (uniform tile grid + mirrored bilinear weights). Same gate key
+        # (keys[3]) and probability as before.
+        keys = jax.random.split(_fast_prng(key), 64)
+        flip_m = _gate(keys[3], cfg.individual_prob, B) & _gate(
+            keys[2], cfg.overall_prob, B)
+        batch_u8 = jnp.where(flip_m[:, None, None, None],
+                             batch_u8[:, ::-1], batch_u8)
         x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
         # 64 keys, non-overlapping regions: 0-2 affine/crop/block-gate,
         # 3-19 per-op gates, 20-21 noise gate/field, 24-43 per-op
         # parameter draws (gate idx + 24), 44-49 displacement
         # fields/amplitudes. (A previous 32-key layout double-booked
         # keys between field draws and gates, correlating augmentations.)
-        keys = jax.random.split(_fast_prng(key), 64)
 
         # 1. torchvision RandomAffine. When the config's matrix ranges
         # are well-conditioned (``twopass_safe``), the warp runs as the
@@ -262,8 +275,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             m = _gate(keys[idx], mask_p, B) & block_on
             x = _blend(m, fn(keys[idx + 24]), x)
 
-        # vertical flip
-        gated(3, p, lambda k: x[:, ::-1])
+        # (vertical flip: hoisted to the uint8 input above, key 3)
 
         if cfg.randomgamma:
             def gamma_fn(k):
