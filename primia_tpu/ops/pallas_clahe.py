@@ -97,11 +97,11 @@ def _lut_kernel(xt_ref, xtT_ref, luts_ref, *, T2p, P, Ppad, padP, limit):
     rep = (
         jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
-    ).astype(jnp.bfloat16)
+    ).astype(jnp.int8)
     diag = (
         jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // 16
         == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // 16
-    ).astype(jnp.float32)
+    )
     lanes256 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 1)
 
     for g in range(n_grp):
@@ -110,31 +110,33 @@ def _lut_kernel(xt_ref, xtT_ref, luts_ref, *, T2p, P, Ppad, padP, limit):
         # int64 index math under the package's x64 mode, which Mosaic
         # cannot lower — its convert helper recurses on i64->i32)
         hi8 = jnp.broadcast_to((px8 >> 4)[:, None, :], (8, 16, Ppad))
-        a = (hi8.reshape(128, Ppad) == himap).astype(jnp.bfloat16)
-        # B via MXU lane-replication (values <= 15: bf16-exact) — the
-        # lane-axis jnp.repeat Mosaic can't shape-cast
-        loT = (xtT_ref[0, :, g * 8:(g + 1) * 8].astype(jnp.int32) & 15)
-        lo_rep = jax.lax.dot(loT.astype(jnp.bfloat16), rep,
-                             preferred_element_type=jnp.float32)
-        b = (lo_rep == lomap.astype(jnp.float32)).astype(jnp.bfloat16)
-        c = jax.lax.dot(a, b, preferred_element_type=jnp.float32) * diag
+        # int8 0/1 operands: the MXU runs s8xs8->s32 at twice the bf16
+        # rate, and the counts are exact integers by construction
+        a = (hi8.reshape(128, Ppad) == himap).astype(jnp.int8)
+        # B via MXU lane-replication (nibble values <= 15: s8-exact) —
+        # the lane-axis jnp.repeat Mosaic can't shape-cast
+        loT = (xtT_ref[0, :, g * 8:(g + 1) * 8].astype(jnp.int8) & 15)
+        lo_rep = jax.lax.dot(loT, rep, preferred_element_type=jnp.int32)
+        b = (lo_rep == lomap).astype(jnp.int8)
+        c = jnp.where(diag,
+                      jax.lax.dot(a, b, preferred_element_type=jnp.int32), 0)
 
         # merge diagonal blocks: rows (tl, hi), lanes (tl, lo) ->
         # hist rows tl, lanes hi*16+lo. The cyclic fold puts the sum of
         # each 16-lane residue class in EVERY window, so placement is a
         # tile + mask, no shift.
         c3 = c.reshape(8, 16, 128)
-        hist = jnp.zeros((8, 256), jnp.float32)
+        hist = jnp.zeros((8, 256), jnp.int32)
         for hi in range(16):
             part = c3[:, hi, :]
             part = part + pltpu.roll(part, jnp.int32(64), 1)
             part = part + pltpu.roll(part, jnp.int32(32), 1)
             part = part + pltpu.roll(part, jnp.int32(16), 1)
             tiled = jnp.concatenate([part, part], axis=1)
-            hist = hist + jnp.where(lanes256 // 16 == hi, tiled, 0.0)
+            hist = hist + jnp.where(lanes256 // 16 == hi, tiled, 0)
 
         # pad pixels were value 0: remove their exact bin-0 contribution
-        hist = hist - (lanes256 == 0).astype(jnp.float32) * float(padP)
+        hist = (hist - jnp.where(lanes256 == 0, padP, 0)).astype(jnp.float32)
         excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1,
                          keepdims=True)
         hist = jnp.minimum(hist, limit) + excess / 256.0
@@ -144,63 +146,66 @@ def _lut_kernel(xt_ref, xtT_ref, luts_ref, *, T2p, P, Ppad, padP, limit):
 
 
 def _apply_kernel(xsh_ref, pk_ref, out_ref, *, T, G, th, tw, sh, sw, Wl):
-    """xsh: (1, 1, th, Wl) uint8 — one shifted-grid row band; pk:
-    (1, 1, G, 256) int32 — this band's PACKED corner LUTs, one 256-entry
-    table per shifted COLUMN band with the four corners' 8-bit values in
-    the four bytes (tl | tr<<8 | bl<<16 | br<<24 — LUT entries are exact
-    integers, see ``_lut_kernel``'s round). One gather then yields all
-    four corner values at once, and only the column bands actually
-    present in a 128-lane window are visited (vs the old kernel's loop
-    over every tile column for every corner: 32 gathers per window down
-    to ~2 per present band). out: (1, 1, th, Wl) f32 in [0, 255]."""
-    gy = pl.program_id(1)
-    px = xsh_ref[0, 0].astype(jnp.int32)  # (th, Wl)
-
-    # bilinear weights from iota (identical formulas to the wrapper's
-    # unshifted grid; rows/cols in the shift margins are sliced away)
-    rsub = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 0).astype(jnp.float32)
-    y = gy.astype(jnp.float32) * th + rsub - sh
-    fy = (y - th / 2.0) / th
-    wy = jnp.clip(fy - jnp.clip(jnp.floor(fy), 0, T - 1), 0.0, 1.0)
-
+    """xsh: (1, G, th, Wl) uint8 — all shifted-grid row bands of one
+    image-channel plane; pk: (1, G, G, 256) int32 — PACKED corner LUTs,
+    one 256-entry table per shifted (row, column) band with the four
+    corners' 8-bit values in the four bytes (tl | tr<<8 | bl<<16 |
+    br<<24 — LUT entries are exact integers, see ``_lut_kernel``'s
+    round). One gather then yields all four corner values at once, and
+    only the column bands actually present in a 128-lane window are
+    visited. The G row bands run as a static in-kernel loop (one grid
+    step per plane: ~9x fewer grid steps than the per-band grid).
+    out: (1, G, th, Wl) f32 in [0, 255]."""
     mask8 = jnp.int32(255)
     srl = jax.lax.shift_right_logical
-    for h in range(Wl // 128):
-        idx = px[:, h * 128:(h + 1) * 128]
-        sel_lo = idx < 128
-        ilo = jnp.minimum(idx, 127)
-        ihi = jnp.maximum(idx - 128, 0)
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 0).astype(jnp.float32)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1) + h * 128
-        gc = jnp.minimum(lane // tw, G - 1)
+    for gy in range(G):
+        px = xsh_ref[0, gy].astype(jnp.int32)  # (th, Wl)
+        # bilinear weights from iota (identical formulas to the
+        # wrapper's unshifted grid; shift-margin rows/cols are sliced
+        # away by the caller)
+        y = float(gy * th) + rsub - sh
+        fy = (y - th / 2.0) / th
+        wy = jnp.clip(fy - jnp.clip(jnp.floor(fy), 0, T - 1), 0.0, 1.0)
 
-        # column bands present in this lane window — static
-        lo_tc = (h * 128) // tw
-        hi_tc = min(G - 1, (h * 128 + 127) // tw)
-        v = jnp.zeros((th, 128), jnp.int32)
-        for tc in range(lo_tc, hi_tc + 1):
-            tab = pk_ref[0, 0, tc:tc + 1, :]  # (1, 256) i32
-            tlo = jnp.broadcast_to(tab[:, :128], (th, 128))
-            # slicing lanes 128: leaves a lane-offset layout Mosaic
-            # can't broadcast ("Invalid input layout"); roll first
-            thi = jnp.broadcast_to(
-                pltpu.roll(tab, jnp.int32(128), 1)[:, :128], (th, 128))
-            g = jnp.where(sel_lo,
-                          jnp.take_along_axis(tlo, ilo, axis=1),
-                          jnp.take_along_axis(thi, ihi, axis=1))
-            v = jnp.where(gc == tc, g, v)
+        for h in range(Wl // 128):
+            idx = px[:, h * 128:(h + 1) * 128]
+            sel_lo = idx < 128
+            ilo = jnp.minimum(idx, 127)
+            ihi = jnp.maximum(idx - 128, 0)
 
-        v_tl = (v & mask8).astype(jnp.float32)
-        v_tr = (srl(v, 8) & mask8).astype(jnp.float32)
-        v_bl = (srl(v, 16) & mask8).astype(jnp.float32)
-        v_br = (srl(v, 24) & mask8).astype(jnp.float32)
+            lane = lane0 + h * 128
+            gc = jnp.minimum(lane // tw, G - 1)
 
-        x = lane.astype(jnp.float32) - sw
-        fx = (x - tw / 2.0) / tw
-        wx = jnp.clip(fx - jnp.clip(jnp.floor(fx), 0, T - 1), 0.0, 1.0)
-        out = ((1 - wy) * (1 - wx) * v_tl + (1 - wy) * wx * v_tr
-               + wy * (1 - wx) * v_bl + wy * wx * v_br)
-        out_ref[0, 0, :, h * 128:(h + 1) * 128] = out
+            # column bands present in this lane window — static
+            lo_tc = (h * 128) // tw
+            hi_tc = min(G - 1, (h * 128 + 127) // tw)
+            v = jnp.zeros((th, 128), jnp.int32)
+            for tc in range(lo_tc, hi_tc + 1):
+                tab = pk_ref[0, gy, tc:tc + 1, :]  # (1, 256) i32
+                tlo = jnp.broadcast_to(tab[:, :128], (th, 128))
+                # slicing lanes 128: leaves a lane-offset layout Mosaic
+                # can't broadcast ("Invalid input layout"); roll first
+                thi = jnp.broadcast_to(
+                    pltpu.roll(tab, jnp.int32(128), 1)[:, :128], (th, 128))
+                g = jnp.where(sel_lo,
+                              jnp.take_along_axis(tlo, ilo, axis=1),
+                              jnp.take_along_axis(thi, ihi, axis=1))
+                v = jnp.where(gc == tc, g, v)
+
+            v_tl = (v & mask8).astype(jnp.float32)
+            v_tr = (srl(v, 8) & mask8).astype(jnp.float32)
+            v_bl = (srl(v, 16) & mask8).astype(jnp.float32)
+            v_br = (srl(v, 24) & mask8).astype(jnp.float32)
+
+            x = lane.astype(jnp.float32) - sw
+            fx = (x - tw / 2.0) / tw
+            wx = jnp.clip(fx - jnp.clip(jnp.floor(fx), 0, T - 1), 0.0, 1.0)
+            out = ((1 - wy) * (1 - wx) * v_tl + (1 - wy) * wx * v_tr
+                   + wy * (1 - wx) * v_bl + wy * wx * v_br)
+            out_ref[0, gy, :, h * 128:(h + 1) * 128] = out
 
 
 def _blocks(a, g, t1, t2):
@@ -311,14 +316,14 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
         _apply_kernel, T=T, G=G, th=th, tw=tw, sh=sh, sw=sw, Wl=Wl)
     out = pl.pallas_call(
         apply_kernel,
-        grid=(N, G),
+        grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, 1, th, Wl), lambda n, gy: (n, gy, _I0, _I0),
+            pl.BlockSpec((1, G, th, Wl), lambda n: (n, _I0, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, 256), lambda n, gy: (n, gy, _I0, _I0),
+            pl.BlockSpec((1, G, G, 256), lambda n: (n, _I0, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, th, Wl), lambda n, gy: (n, gy, _I0, _I0),
+        out_specs=pl.BlockSpec((1, G, th, Wl), lambda n: (n, _I0, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, G, th, Wl), jnp.float32),
         interpret=interpret,
