@@ -287,7 +287,8 @@ def use_pallas_warp() -> bool:
 
 def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
                 twopass: bool = False,
-                row_band: int | None = None) -> jnp.ndarray:
+                row_band: int | None = None,
+                channels_first: bool = False) -> jnp.ndarray:
     """Batched inverse-affine warp. imgs (B,H,W,C); mats (B,2,3) maps
     OUTPUT pixel coords (x, y, 1) -> input coords, centered at the image
     center (torchvision RandomAffine convention).
@@ -304,8 +305,18 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
         if use_pallas_warp():
             from primia_tpu.ops.pallas_tent import warp_affine_shear_pallas
 
-            return warp_affine_shear_pallas(imgs, mats)
+            return warp_affine_shear_pallas(imgs, mats,
+                                            channels_first=channels_first)
+        if channels_first:
+            return warp_affine_twopass(
+                imgs.transpose(0, 2, 3, 1), mats).transpose(0, 3, 1, 2)
         return warp_affine_twopass(imgs, mats)
+    if channels_first:
+        # non-twopass planar callers only exist off the Pallas path
+        # (ill-conditioned affine ranges): NHWC round trip is fine there
+        return warp_affine(imgs.transpose(0, 2, 3, 1), mats,
+                           twopass=False, row_band=row_band,
+                           ).transpose(0, 3, 1, 2)
     B, H, W, C = imgs.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - cy
@@ -329,19 +340,25 @@ def warp_affine(imgs: jnp.ndarray, mats: jnp.ndarray,
 
 
 def warp_dense(imgs: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
-               max_dy: float | None = None) -> jnp.ndarray:
+               max_dy: float | None = None,
+               channels_first: bool = False) -> jnp.ndarray:
     """Batched dense warp: sample input at (y + dy, x + dx).
 
     dy/dx: (B, H, W) float displacement fields in pixels. ``max_dy``:
     optional STATIC bound on |dy| (the augment config knows its
     amplitude caps); enables the row-banded contraction — source rows
     for a chunk of 16 output rows then span at most 15 + 2*max_dy + 3.
+    ``channels_first``: imgs is (B, C, H, W) (planar augment pipeline).
     """
-    B, H, W, C = imgs.shape
     if use_pallas_warp() and _use_twopass_dense():
         from primia_tpu.ops.pallas_tent import warp_dense_twopass_pallas
 
-        return warp_dense_twopass_pallas(imgs, dy, dx)
+        return warp_dense_twopass_pallas(imgs, dy, dx,
+                                         channels_first=channels_first)
+    if channels_first:
+        return warp_dense(imgs.transpose(0, 2, 3, 1), dy, dx,
+                          max_dy=max_dy).transpose(0, 3, 1, 2)
+    B, H, W, C = imgs.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     sy, sx = ys[None] + dy, xs[None] + dx
@@ -372,9 +389,8 @@ def _u8_histogram(flat_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(oh, axis=tuple(range(flat_u8.ndim)))
 
 
-def equalize(imgs: jnp.ndarray) -> jnp.ndarray:
+def equalize(imgs: jnp.ndarray, channels_first: bool = False) -> jnp.ndarray:
     """Global histogram equalization per image per channel ([0,1] float)."""
-    B, H, W, C = imgs.shape
     u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.int32)
 
     def one_channel(ch):  # (H, W) int32
@@ -388,7 +404,8 @@ def equalize(imgs: jnp.ndarray) -> jnp.ndarray:
         )
         return lut[ch]
 
-    out = jax.vmap(jax.vmap(one_channel, in_axes=2, out_axes=2))(u8)
+    ax = 0 if channels_first else 2  # channel axis below the batch dim
+    out = jax.vmap(jax.vmap(one_channel, in_axes=ax, out_axes=ax))(u8)
     return out.astype(imgs.dtype) / 255.0
 
 
@@ -532,9 +549,10 @@ def _linear_to_srgb(y: jnp.ndarray) -> jnp.ndarray:
         1.055 * jnp.power(jnp.maximum(y, 0.0), 1.0 / 2.4) - 0.055)
 
 
-def rgb_to_lab_u8(imgs: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 3) floats in [0, 1] -> LAB in OpenCV's uint8 scale
-    (L in [0, 255] = L*255/100, a/b offset by +128), kept in float.
+def rgb_to_lab_u8(imgs: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """RGB floats in [0, 1] (channel ``axis``, size 3) -> LAB in
+    OpenCV's uint8 scale (L in [0, 255] = L*255/100, a/b offset by
+    +128), kept in float.
 
     Matches ``cv2.cvtColor(COLOR_RGB2LAB)`` 8-bit semantics including
     the sRGB linearization its implementation applies before the
@@ -547,7 +565,9 @@ def rgb_to_lab_u8(imgs: jnp.ndarray) -> jnp.ndarray:
     # explicit linear combinations, not a (..,3)@(3,3) dot: the default
     # dot precision computes in bf16 (~0.3 uint8 level error) and a K=3
     # contraction is degenerate MXU work anyway
-    r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    r = jnp.take(rgb, 0, axis=axis)
+    g = jnp.take(rgb, 1, axis=axis)
+    b_ = jnp.take(rgb, 2, axis=axis)
     # python-float coefficients: numpy f64 scalars would promote the
     # whole pipeline to f64 under the package's x64 mode
     (m00, m01, m02), (m10, m11, m12), (m20, m21, m22) = _RGB2XYZ.tolist()
@@ -562,17 +582,17 @@ def rgb_to_lab_u8(imgs: jnp.ndarray) -> jnp.ndarray:
     L = jnp.where(yr > _LAB_EPS, 116.0 * fy - 16.0, _LAB_KAPPA * yr)
     a = 500.0 * (fx - fy) + 128.0
     b = 200.0 * (fy - fz) + 128.0
-    lab = jnp.stack([L * (255.0 / 100.0), a, b], axis=-1)
+    lab = jnp.stack([L * (255.0 / 100.0), a, b], axis=axis)
     return jnp.clip(lab, 0.0, 255.0)
 
 
-def lab_u8_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
+def lab_u8_to_rgb(lab: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Inverse of :func:`rgb_to_lab_u8`; returns [0, 1] floats quantized
     to uint8 levels (the reference pipeline hands albumentations' uint8
     result onward)."""
-    L = lab[..., 0] * (100.0 / 255.0)
-    a = lab[..., 1] - 128.0
-    b = lab[..., 2] - 128.0
+    L = jnp.take(lab, 0, axis=axis) * (100.0 / 255.0)
+    a = jnp.take(lab, 1, axis=axis) - 128.0
+    b = jnp.take(lab, 2, axis=axis) - 128.0
     fy = (L + 16.0) / 116.0
     fx = fy + a / 500.0
     fz = fy - b / 200.0
@@ -588,7 +608,7 @@ def lab_u8_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
     rgb = jnp.stack(
         [i00 * x_ + i01 * y_ + i02 * z_,
          i10 * x_ + i11 * y_ + i12 * z_,
-         i20 * x_ + i21 * y_ + i22 * z_], axis=-1)
+         i20 * x_ + i21 * y_ + i22 * z_], axis=axis)
     rgb = _linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
     rgb = jnp.clip(rgb, 0.0, 1.0)
     return jnp.floor(rgb * 255.0 + 0.5) / 255.0
@@ -598,6 +618,7 @@ def clahe(
     imgs: jnp.ndarray,
     clip_limit: float = 1.0,
     tiles: int = 8,
+    channels_first: bool = False,
 ) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization (batched).
 
@@ -610,22 +631,28 @@ def clahe(
     the canonical 3-channel config. Any other channel count falls back
     to per-channel equalization.
     """
-    if imgs.shape[-1] == 3:
-        lab = rgb_to_lab_u8(imgs)
-        L_eq = _clahe_channels(lab[..., :1] / 255.0, clip_limit, tiles)
+    ch_ax = 1 if channels_first else -1
+    if imgs.shape[ch_ax] == 3:
+        lab = rgb_to_lab_u8(imgs, axis=ch_ax)
+        Lch = (lab[:, :1] if channels_first else lab[..., :1])
+        L_eq = _clahe_channels(Lch / 255.0, clip_limit, tiles,
+                               channels_first=channels_first)
         # cv2's pipeline stores every LAB channel as uint8 after CLAHE:
         # round L to integer levels exactly like a/b
+        rest = (lab[:, 1:] if channels_first else lab[..., 1:])
         lab = jnp.concatenate(
             [jnp.round(L_eq.astype(jnp.float32) * 255.0),
-             jnp.round(lab[..., 1:])], axis=-1)
-        return lab_u8_to_rgb(lab).astype(imgs.dtype)
-    return _clahe_channels(imgs, clip_limit, tiles)
+             jnp.round(rest)], axis=ch_ax)
+        return lab_u8_to_rgb(lab, axis=ch_ax).astype(imgs.dtype)
+    return _clahe_channels(imgs, clip_limit, tiles,
+                           channels_first=channels_first)
 
 
 def _clahe_channels(
     imgs: jnp.ndarray,
     clip_limit: float = 1.0,
     tiles: int = 8,
+    channels_first: bool = False,
 ) -> jnp.ndarray:
     """Per-channel CLAHE backend dispatch.
 
@@ -646,8 +673,15 @@ def _clahe_channels(
         if os.environ.get("PRIMIA_PALLAS_CLAHE", "1") != "0":
             from primia_tpu.ops.pallas_clahe import clahe_pallas
 
-            return clahe_pallas(imgs, clip_limit, tiles)
+            return clahe_pallas(imgs, clip_limit, tiles,
+                                channels_first=channels_first)
+        if channels_first:
+            return clahe_mxu(imgs.transpose(0, 2, 3, 1), clip_limit,
+                             tiles).transpose(0, 3, 1, 2)
         return clahe_mxu(imgs, clip_limit, tiles)
+    if channels_first:
+        return _clahe_channels(imgs.transpose(0, 2, 3, 1), clip_limit,
+                               tiles).transpose(0, 3, 1, 2)
     B, H, W, C = imgs.shape
     th, tw = -(-H // tiles), -(-W // tiles)  # ceil: any resolution
     padH, padW = th * tiles - H, tw * tiles - W
@@ -697,22 +731,33 @@ def _clahe_channels(
 
 # ------------------------------------------------------------------ blur
 
-def box_blur(imgs: jnp.ndarray, ksize: int) -> jnp.ndarray:
+def box_blur(imgs: jnp.ndarray, ksize: int,
+             channels_first: bool = False) -> jnp.ndarray:
     """Depthwise box blur, zero-padded same-size output.
 
     Shift-and-add formulation: a 1-channel depthwise conv is a terrible
     MXU shape (K = ksize^2), while 2*ksize shifted adds fuse into one
-    VPU pass over the batch.
+    VPU pass over the batch. Spatial dims are (1, 2) for NHWC and
+    (2, 3) with ``channels_first``.
     """
-    B, H, W, C = imgs.shape
+    ha, wa = (2, 3) if channels_first else (1, 2)
+    H, W = imgs.shape[ha], imgs.shape[wa]
     pad = ksize // 2
-    z = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    rows = z[:, 0:H]
+    pads = [(0, 0)] * 4
+    pads[ha] = pads[wa] = (pad, pad)
+    z = jnp.pad(imgs, pads)
+
+    def sl(t, axis, start, size):
+        idx = [slice(None)] * 4
+        idx[axis] = slice(start, start + size)
+        return t[tuple(idx)]
+
+    rows = sl(z, ha, 0, H)
     for i in range(1, ksize):
-        rows = rows + z[:, i : i + H]
-    out = rows[:, :, 0:W]
+        rows = rows + sl(z, ha, i, H)
+    out = sl(rows, wa, 0, W)
     for j in range(1, ksize):
-        out = out + rows[:, :, j : j + W]
+        out = out + sl(rows, wa, j, W)
     return out / jnp.asarray(ksize * ksize, imgs.dtype)
 
 

@@ -216,15 +216,19 @@ def _blocks(a, g, t1, t2):
     return a.reshape(N, g * g, t1 * t2)
 
 
-def _prep_tiles(imgs, tiles):
-    """(B, H, W, C) floats -> (N, Hp, Wp) uint8 tile-padded planes plus
-    the static tile geometry shared by both kernel stages."""
-    B, H, W, C = imgs.shape
+def _prep_tiles(imgs, tiles, channels_first=False):
+    """(B, H, W, C) — or (B, C, H, W) with ``channels_first`` — floats
+    -> (N, Hp, Wp) uint8 tile-padded planes plus the static tile
+    geometry shared by both kernel stages."""
+    if channels_first:
+        B, C, H, W = imgs.shape
+    else:
+        B, H, W, C = imgs.shape
     T = tiles
     th, tw = -(-H // T), -(-W // T)
     padH, padW = th * T - H, tw * T - W
     u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-    x4 = u8.transpose(0, 3, 1, 2)
+    x4 = u8 if channels_first else u8.transpose(0, 3, 1, 2)
     if padH or padW:
         x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, padH), (0, padW)), mode="edge")
     x = x4.reshape(B * C, th * T, tw * T)
@@ -276,16 +280,21 @@ def clahe_luts(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
         return _lut_stage(x, T, th, tw, clip_limit, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles", "interpret"))
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles",
+                                              "interpret", "channels_first"))
 def clahe_pallas(imgs: jnp.ndarray, clip_limit: float = 1.0, tiles: int = 8,
-                 *, interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ``ops.image.clahe`` — (B, H, W, C) floats in [0, 1]."""
+                 *, interpret: bool = False,
+                 channels_first: bool = False) -> jnp.ndarray:
+    """Drop-in for ``ops.image.clahe`` — floats in [0, 1], NHWC or
+    (with ``channels_first``) planar NCHW (skips both transposes)."""
     with _x64_scope(False):
-        return _clahe_pallas_impl(imgs, clip_limit, tiles, interpret)
+        return _clahe_pallas_impl(imgs, clip_limit, tiles, interpret,
+                                  channels_first)
 
 
-def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
-    x, (B, H, W, C, T, th, tw) = _prep_tiles(imgs, tiles)
+def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret,
+                       channels_first=False):
+    x, (B, H, W, C, T, th, tw) = _prep_tiles(imgs, tiles, channels_first)
     N = B * C
     luts = _lut_stage(x, T, th, tw, clip_limit, interpret)
 
@@ -330,5 +339,7 @@ def _clahe_pallas_impl(imgs, clip_limit, tiles, interpret):
     )(x_sh, pk)
 
     out = out.reshape(N, G * th, Wl)[:, sh:sh + H, sw:sw + W]
-    out = out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    out = out.reshape(B, C, H, W)
+    if not channels_first:
+        out = out.transpose(0, 2, 3, 1)
     return (out / 255.0).astype(imgs.dtype)

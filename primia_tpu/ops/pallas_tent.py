@@ -252,10 +252,11 @@ def _resample_rows(img4: jnp.ndarray, qs: jnp.ndarray,
     return out[..., :W] if Wp != W else out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "channels_first"))
 def warp_dense_twopass_pallas(imgs: jnp.ndarray, dy: jnp.ndarray,
                               dx: jnp.ndarray, *,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              channels_first: bool = False) -> jnp.ndarray:
     """Two-pass dense displacement warp: vertical lane-gather pass (on
     the transpose), then horizontal lane-gather pass.
 
@@ -275,8 +276,12 @@ def warp_dense_twopass_pallas(imgs: jnp.ndarray, dy: jnp.ndarray,
     shape (measured 8.8 ms/step, MXU-bound at 5%% of the HBM roof).
     The two gather passes do 4 gathers + 2 fma per pixel.
     """
-    B, H, W, C = imgs.shape
-    x4 = imgs.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, C, H, W)
+    if channels_first:
+        B, C, H, W = imgs.shape
+        x4 = imgs.astype(jnp.bfloat16)
+    else:
+        B, H, W, C = imgs.shape
+        x4 = imgs.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, C, H, W)
     with _x64_scope(False):
         rr = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)  # output row
         cc = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)  # output col
@@ -287,18 +292,26 @@ def warp_dense_twopass_pallas(imgs: jnp.ndarray, dy: jnp.ndarray,
         # pass 2 — horizontal on the untransposed layout
         q = cc[None] + dx.astype(jnp.float32)                       # (B,H,W)
         out = _resample_rows(tmp.transpose(0, 1, 3, 2), q, interpret)
+    if channels_first:
+        return out.astype(imgs.dtype)
     return out.transpose(0, 2, 3, 1).astype(imgs.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "channels_first"))
 def warp_affine_shear_pallas(imgs: jnp.ndarray, mats: jnp.ndarray, *,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             channels_first: bool = False) -> jnp.ndarray:
     """Two-pass affine warp (same coefficients/conditioning contract as
     ``ops.image.warp_affine_twopass`` — callers must check
-    ``twopass_safe`` first). imgs (B, H, W, C) float; mats (B, 2, 3)
-    inverse maps, torchvision RandomAffine convention."""
+    ``twopass_safe`` first). imgs (B, H, W, C) float — or (B, C, H, W)
+    with ``channels_first`` (the planar augment pipeline; skips the
+    NHWC round-trip transposes); mats (B, 2, 3) inverse maps,
+    torchvision RandomAffine convention."""
     with _x64_scope(False):
-        B, H, W, C = imgs.shape
+        if channels_first:
+            B, C, H, W = imgs.shape
+        else:
+            B, H, W, C = imgs.shape
         cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
         mats = mats.astype(jnp.float32)
         A_, Bc = mats[:, 0, 0], mats[:, 0, 1]
@@ -310,7 +323,8 @@ def warp_affine_shear_pallas(imgs: jnp.ndarray, mats: jnp.ndarray, *,
         d = A_ - e * Cc
         z = Tx - e * Ty
 
-        x4 = imgs.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+        x4 = (imgs if channels_first
+              else imgs.transpose(0, 3, 1, 2)).astype(jnp.bfloat16)
         uc = jnp.arange(H, dtype=jnp.float32) - cy
         xc = jnp.arange(W, dtype=jnp.float32) - cx
 
@@ -327,4 +341,6 @@ def warp_affine_shear_pallas(imgs: jnp.ndarray, mats: jnp.ndarray, *,
         out_t = _resample_rows(tmp.transpose(0, 1, 3, 2), p, interpret)
 
         out = out_t.transpose(0, 1, 3, 2)  # (B, C, H, W)
+        if channels_first:
+            return out.astype(imgs.dtype)
         return out.transpose(0, 2, 3, 1).astype(imgs.dtype)
