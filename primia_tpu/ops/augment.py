@@ -223,16 +223,11 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # (uniform tile grid + mirrored bilinear weights). Same gate key
         # (keys[3]) and probability as before.
         keys = jax.random.split(_fast_prng(key), 64)
-        # The pipeline body runs PLANAR (B, C, H, W): the Pallas warp
-        # and CLAHE kernels are planar inside, so NHWC would pay a
-        # materialized transpose at every kernel boundary. One u8
-        # transpose here and one bf16 transpose before the final
-        # normalize replace ~6 full-image relayout passes.
-        xu = batch_u8.transpose(0, 3, 1, 2)
         flip_m = _gate(keys[3], cfg.individual_prob, B) & _gate(
             keys[2], cfg.overall_prob, B)
-        xu = jnp.where(flip_m[:, None, None, None], xu[:, :, ::-1], xu)
-        x = xu.astype(dt) / jnp.asarray(255.0, dt)
+        batch_u8 = jnp.where(flip_m[:, None, None, None],
+                             batch_u8[:, ::-1], batch_u8)
+        x = batch_u8.astype(dt) / jnp.asarray(255.0, dt)
         # 64 keys, non-overlapping regions: 0-2 affine/crop/block-gate,
         # 3-19 per-op gates, 20-21 noise gate/field, 24-43 per-op
         # parameter draws (gate idx + 24), 44-49 displacement
@@ -256,7 +251,6 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                     os.environ.get("PRIMIA_TWOPASS_WARP"))),
                 row_band=I.affine_row_band(cfg.rotation, cfg.shear,
                                            cfg.scale, R),
-                channels_first=True,
             )
 
         # 2. RandomCrop(train_resolution) after host-side Resize
@@ -264,14 +258,13 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             off = jax.random.randint(keys[1], (B, 2), 0, R - Rt + 1)
 
             def crop(img, o):
-                return jax.lax.dynamic_slice(
-                    img, (0, o[0], o[1]), (img.shape[0], Rt, Rt))
+                return jax.lax.dynamic_slice(img, (o[0], o[1], 0), (Rt, Rt, img.shape[-1]))
 
             x = jax.vmap(crop)(x, off)
 
         # 3. CLAHE (always applied when enabled; clip_limit=(1,1) in ref)
         if cfg.clahe:
-            x = I.clahe(x, clip_limit=1.0, tiles=8, channels_first=True)
+            x = I.clahe(x, clip_limit=1.0, tiles=8)
 
         # 4. gated albumentations block
         p = cfg.individual_prob
@@ -297,7 +290,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             gated(5, p, bright_fn)
 
         if cfg.blur:
-            gated(6, p, lambda k: I.box_blur(x, 3, channels_first=True))
+            gated(6, p, lambda k: I.box_blur(x, 3))
 
         # fused geometric distortions: sum displacement fields, warp once
         warp_terms = []
@@ -336,26 +329,23 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                     r2 = (ys ** 2 + xs ** 2) / (cy * cx)
                     dy = dy + kk * r2 * ys
                     dx = dx + kk * r2 * xs
-            x = I.warp_dense(x, dy, dx, max_dy=max_disp, channels_first=True)
+            x = I.warp_dense(x, dy, dx, max_dy=max_disp)
 
         if cfg.grid_shuffle:
             def shuffle_fn(k):
                 g = 3
                 cell = Rt // g
-                C_ = x.shape[1]
-                xx = x[:, :, : g * cell, : g * cell]
-                cells = (xx.reshape(B, C_, g, cell, g, cell)
-                         .transpose(0, 1, 2, 4, 3, 5)
-                         .reshape(B, C_, g * g, cell, cell))
+                xx = x[:, : g * cell, : g * cell]
+                cells = xx.reshape(B, g, cell, g, cell, -1).transpose(0, 1, 3, 2, 4, 5)
+                cells = cells.reshape(B, g * g, cell, cell, -1)
                 perm = jax.vmap(lambda kk: jax.random.permutation(kk, g * g))(
                     jax.random.split(k, B)
                 )
-                cells = jax.vmap(lambda c, pm: c[:, pm])(cells, perm)
-                out = (cells.reshape(B, C_, g, g, cell, cell)
-                       .transpose(0, 1, 2, 4, 3, 5)
-                       .reshape(B, C_, g * cell, g * cell))
+                cells = jax.vmap(lambda c, pm: c[pm])(cells, perm)
+                out = cells.reshape(B, g, g, cell, cell, -1).transpose(0, 1, 3, 2, 4, 5)
+                out = out.reshape(B, g * cell, g * cell, -1)
                 return jnp.pad(
-                    out, ((0, 0), (0, 0), (0, Rt - g * cell), (0, Rt - g * cell))
+                    out, ((0, 0), (0, Rt - g * cell), (0, Rt - g * cell), (0, 0))
                 ) if g * cell < Rt else out
             gated(10, p, shuffle_fn)
 
@@ -363,12 +353,12 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             def hsv_fn(k):
                 sh = jax.random.uniform(k, (B, 1, 1, 3), minval=-1.0, maxval=1.0)
                 sh = (sh * jnp.array([20 / 255.0, 30 / 255.0, 20 / 255.0])).astype(dt)
-                hsv = _hsv_impl(jnp.moveaxis(x, 1, -1))
+                hsv = _hsv_impl(x)
                 hsv = jnp.stack(
                     [(hsv[..., 0] + sh[..., 0]) % 1.0,
                      jnp.clip(hsv[..., 1] + sh[..., 1], 0, 1),
                      jnp.clip(hsv[..., 2] + sh[..., 2], 0, 1)], -1)
-                return jnp.moveaxis(_hsv_to_rgb(hsv), -1, 1)
+                return _hsv_to_rgb(hsv)
             gated(11, p, hsv_fn)
 
         if cfg.invert:
@@ -378,7 +368,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
             def cutout_fn(k):
                 out = x
                 ks = jax.random.split(k, 5)
-                mask = jnp.ones((B, 1, Rt, Rt), jnp.float32)
+                mask = jnp.ones((B, Rt, Rt, 1), jnp.float32)
                 ys = jax.lax.broadcasted_iota(jnp.int32, (Rt, Rt), 0)
                 xs = jax.lax.broadcasted_iota(jnp.int32, (Rt, Rt), 1)
                 for h in range(5):  # 5 holes up to 80x80 (ref dataloader.py:180)
@@ -389,7 +379,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                         (ys[None] >= c[:, 0:1, None]) & (ys[None] < c[:, 0:1, None] + wh[:, 0:1, None])
                         & (xs[None] >= c[:, 1:2, None]) & (xs[None] < c[:, 1:2, None] + wh[:, 1:2, None])
                     )
-                    mask = mask * (1.0 - inside[:, None].astype(jnp.float32))
+                    mask = mask * (1.0 - inside[..., None].astype(jnp.float32))
                 # keep the image in its compute dtype (an f32 mask would
                 # promote the whole blend chain — see fog)
                 return out * mask.astype(dt)
@@ -401,7 +391,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 k1, k2 = jax.random.split(k)
                 a = jax.random.randint(k1, (B, 1, 1, 1), 0, Rt)
                 w = jax.random.randint(k2, (B, 1, 1, 1), Rt // 8, Rt // 2)
-                xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Rt, Rt), 3)
+                xs = jax.lax.broadcasted_iota(jnp.int32, (1, Rt, Rt, 1), 2)
                 band = (xs >= a) & (xs < a + w)
                 return jnp.where(band, x * 0.5, x)
             gated(14, p, shadow_fn)
@@ -413,7 +403,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 # path (measured 99 ms vs 9 ms for this op at 200x224)
                 f = jax.random.uniform(
                     k, (B, 1, 1, 1), minval=0.1, maxval=0.45).astype(dt)
-                return I.box_blur(x * (1 - f) + f, 3, channels_first=True)
+                return I.box_blur(x * (1 - f) + f, 3)
             gated(15, p, fog_fn)
 
         if cfg.sun_flare:
@@ -426,14 +416,14 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 d2 = (ys[None] - c[:, 0, None, None]) ** 2 + (
                     xs[None] - c[:, 1, None, None]) ** 2
                 glow = jnp.exp(-d2 / (2 * (rad[:, None, None] / 2) ** 2))
-                return jnp.clip(x + glow[:, None].astype(dt), 0, 1)
+                return jnp.clip(x + glow[..., None].astype(dt), 0, 1)
             gated(16, p, flare_fn)
 
         if cfg.solarize:
             gated(17, p, lambda k: jnp.where(x >= 0.5, 1.0 - x, x))
 
         if cfg.equalize:
-            gated(18, p, lambda k: I.equalize(x, channels_first=True))
+            gated(18, p, lambda k: I.equalize(x))
 
         if cfg.grid_dropout:
             def gd_fn(k):
@@ -441,7 +431,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 cell = Rt // g
                 ys = jax.lax.broadcasted_iota(jnp.int32, (Rt, Rt), 0) // cell
                 xs = jax.lax.broadcasted_iota(jnp.int32, (Rt, Rt), 1) // cell
-                keep = ((ys + xs) % 2 == 0)[None, None, :, :]
+                keep = ((ys + xs) % 2 == 0)[None, :, :, None]
                 return x * keep
             gated(19, p, gd_fn)
 
@@ -452,9 +442,7 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
                 cfg.noise_std, dt)
             x = _blend(m, jnp.clip(x + noise, 0.0, 1.0), x)
 
-        # 6. back to NHWC (model layout), then Normalize (images already
-        # in [0,1] float = ToFloat(255)); transpose in the compute dtype
-        x = x.transpose(0, 2, 3, 1)
+        # 6. Normalize (images already in [0,1] float = ToFloat(255))
         return (x - mean) / std
 
     return augment

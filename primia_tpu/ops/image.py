@@ -633,17 +633,22 @@ def clahe(
     """
     ch_ax = 1 if channels_first else -1
     if imgs.shape[ch_ax] == 3:
-        lab = rgb_to_lab_u8(imgs, axis=ch_ax)
+        # quantize LAB to uint8 IMMEDIATELY: cv2's pipeline stores all
+        # LAB channels as uint8, CLAHE re-quantizes its input anyway,
+        # and a single u8 carrier between the conversion fusions is 4x
+        # cheaper than the full-res f32 stack (which also forced XLA
+        # layout copies at the Pallas CLAHE boundary).
+        lab = jnp.round(rgb_to_lab_u8(imgs, axis=ch_ax)).astype(jnp.uint8)
         Lch = (lab[:, :1] if channels_first else lab[..., :1])
-        L_eq = _clahe_channels(Lch / 255.0, clip_limit, tiles,
+        L_eq = _clahe_channels(Lch.astype(jnp.float32) / 255.0,
+                               clip_limit, tiles,
                                channels_first=channels_first)
-        # cv2's pipeline stores every LAB channel as uint8 after CLAHE:
-        # round L to integer levels exactly like a/b
         rest = (lab[:, 1:] if channels_first else lab[..., 1:])
         lab = jnp.concatenate(
-            [jnp.round(L_eq.astype(jnp.float32) * 255.0),
-             jnp.round(rest)], axis=ch_ax)
-        return lab_u8_to_rgb(lab, axis=ch_ax).astype(imgs.dtype)
+            [jnp.round(L_eq.astype(jnp.float32) * 255.0).astype(jnp.uint8),
+             rest], axis=ch_ax)
+        return lab_u8_to_rgb(lab.astype(jnp.float32),
+                             axis=ch_ax).astype(imgs.dtype)
     return _clahe_channels(imgs, clip_limit, tiles,
                            channels_first=channels_first)
 
