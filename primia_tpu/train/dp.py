@@ -176,11 +176,13 @@ class _GhostEngine:
         y = PLAIN.conv2d(x, w, stride=stride, padding=padding)
         kh, kw, cin, cout = w.shape
         T = y.shape[1] * y.shape[2]
-        K = kh * kw * cin
-        # ghost (T^2) form iff its FLOPs beat materializing the
-        # per-example weight gradient: B*T^2*(K+C) vs B*T*K*C
+        # T^2 gram form only where T is small enough that the grams
+        # (2 * B * T^2 f32) stay tiny and its FLOPs B*T^2*(K+C) beat
+        # the per-tap matmuls' B*T*K*C — late ResNet stages. At T=784
+        # (layer2) the grams materialize 492 MB each and lose to the
+        # per-tap form (measured).
         self.meta.append(dict(kind="conv", stride=stride, padding=padding,
-                              wshape=w.shape, ghost=T * (K + cout) < K * cout))
+                              wshape=w.shape, ghost=T <= 256))
         self.captured.append((x,))
         self.refs.append((w,))
         return self._tap(y)
@@ -222,6 +224,38 @@ class _GhostEngine:
         return getattr(PLAIN, name)
 
 
+def _stem_sq_norms(x, dy):
+    """Per-example squared wgrad norms of the 7x7/s2/p3 stem via the
+    space-to-depth rewrite (``nn/resnet.py:_stem_s2d_conv``): on the
+    s2d grid the stem is a 4x4/s1 conv, so the patch buffer is a
+    concat of 16 UNIT-stride slices (strided (1,2,2,1) slices ran at
+    7% of the HBM roof and cost ~22 ms/step here). The s2d kernel
+    embeds the 7x7 weights injectively (8x8 zero-pad at the top-left),
+    so the true norm is the masked sum over the real positions."""
+    B, H, W, C = x.shape
+    H2, W2 = H // 2, W // 2
+    x2 = (x.reshape(B, H2, 2, W2, 2, C)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(B, H2, W2, 4 * C))
+    xp = jnp.pad(x2, ((0, 0), (2, 1), (2, 1), (0, 0)))
+    pat = jnp.concatenate(
+        [xp[:, a:a + H2, b:b + W2, :] for a in range(4) for b in range(4)],
+        axis=-1)                                        # (B, H2, W2, 16*4C)
+    g = jnp.einsum("bhwk,bhwc->bkc", pat.reshape(B, H2 * W2, -1),
+                   dy.reshape(B, H2 * W2, -1),
+                   preferred_element_type=jnp.float32)  # (B, 16*4C, co)
+    # k = (a*4 + b)*4C + (py*2 + qx)*C + c ; the 8x8 kernel position is
+    # (2a + py, 2b + qx), real iff both >= 1 (w8 = pad(w1, ((1,0),(1,0))))
+    a = np.arange(16) // 4
+    b = np.arange(16) % 4
+    py = np.arange(4 * C) // (2 * C)
+    qx = (np.arange(4 * C) // C) % 2
+    real = ((2 * a[:, None] + py[None, :] >= 1)
+            & (2 * b[:, None] + qx[None, :] >= 1)).reshape(-1)
+    mask = jnp.asarray(real, jnp.float32)
+    return jnp.einsum("bkc,k->b", jnp.square(g), mask)
+
+
 def _ghost_layer_stats(meta, captured, dtaps):
     """Sweep 1: per-example squared L2 norm of the full parameter
     gradient, assembled layer-by-layer from (input, output-cotangent)
@@ -250,13 +284,18 @@ def _ghost_layer_stats(meta, captured, dtaps):
                 sd = jnp.einsum("btc,bsc->bts", dyf, dyf,
                                 preferred_element_type=f32)
                 total = total + jnp.einsum("bts,bts->b", sx, sd)
-            elif kh * kw * (x.size // (s * s) + dy.size) \
-                    <= 2 * Ho * Wo * kh * kw * cin * B + dy.size:
-                # per-tap shifted batched matmuls: squares are
-                # elementwise over the K axis, so the full-norm sum
-                # splits exactly across the kh*kw taps. No patch buffer
-                # at all — measured 4.3x faster than the patches route
-                # at layer1 shapes (slices fuse into the dot reads).
+            elif (kh, kw, s, p) == (7, 7, 2, 3) \
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                total = total + _stem_sq_norms(x, dy)
+            else:
+                # per-tap shifted batched matmuls: G's K axis indexes
+                # (tap, cin), so the squared norm splits EXACTLY across
+                # the kh*kw taps (disjoint rows — no cross terms). The
+                # unit-stride slices fuse into the dot reads; no patch
+                # buffer. (A grouped-conv per-example wgrad was tried
+                # and lowered to 2%-of-roof reduce loops; the T^2 form
+                # below it materialized 492 MB grams at layer2 — both
+                # measured slower.)
                 xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
                 for di in range(kh):
                     for dj in range(kw):
@@ -268,24 +307,6 @@ def _ghost_layer_stats(meta, captured, dtaps):
                         g = jnp.einsum("bhwi,bhwo->bio", xs, dy,
                                        preferred_element_type=f32)
                         total = total + jnp.sum(jnp.square(g), axis=(1, 2))
-            else:
-                # many taps x a large dy (the 7x7/s2 stem): one patch
-                # buffer, built by concat of strided slices — the
-                # conv_general_dilated_patches lowering builds at 35%
-                # of the HBM roof and then relayouts for the einsum
-                # (~5 ms/step on conv1); plain concat hits copy speed
-                # in the layout the einsum wants.
-                xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-                pat = jnp.concatenate([
-                    jax.lax.slice(
-                        xp, (0, di, dj, 0),
-                        (B, di + (Ho - 1) * s + 1,
-                         dj + (Wo - 1) * s + 1, cin),
-                        (1, s, s, 1))
-                    for di in range(kh) for dj in range(kw)], axis=-1)
-                g = jnp.einsum("bhwk,bhwc->bkc", pat, dy,
-                               preferred_element_type=f32)
-                total = total + jnp.sum(jnp.square(g), axis=(1, 2))
         elif kind == "bias":
             df = dy.astype(f32)
             gb = jnp.sum(df, axis=tuple(range(1, dy.ndim - 1))) \
