@@ -241,7 +241,7 @@ def _stem_sq_norms(x, dy):
     pat = jnp.concatenate(
         [xp[:, a:a + H2, b:b + W2, :] for a in range(4) for b in range(4)],
         axis=-1)                                        # (B, H2, W2, 16*4C)
-    g = jnp.einsum("bhwk,bhwc->bkc", pat.reshape(B, H2 * W2, -1),
+    g = jnp.einsum("bpk,bpc->bkc", pat.reshape(B, H2 * W2, -1),
                    dy.reshape(B, H2 * W2, -1),
                    preferred_element_type=jnp.float32)  # (B, 16*4C, co)
     # k = (a*4 + b)*4C + (py*2 + qx)*C + c ; the 8x8 kernel position is

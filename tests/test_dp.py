@@ -243,6 +243,39 @@ class TestGhostDpStep:
                 np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
                 rtol=2e-2, atol=2e-4)
 
+    def test_stem_norm_path_matches_microbatch(self):
+        """At >=46 px even inputs the 7x7/s2/p3 stem's output T exceeds
+        256, so the per-example norm takes the ``_stem_sq_norms``
+        space-to-depth branch instead of the T^2 gram (regression: a
+        rank-4 einsum subscript on the rank-3 patch buffer crashed any
+        canonical-resolution ghost-DP step; the 32-px tests never
+        reached the branch). 64 px: stem T = 1024."""
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args = Arguments(model="resnet-18", train_resolution=64,
+                         inference_resolution=64, batch_size=4,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=0.05)
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 64, 64, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4, dtype=np.int32))
+        mask = jnp.ones(4, jnp.float32)
+
+        sg = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                       np.array([0.25]), donate=False)
+        sm = build_dp_train_step(md, opt, args, np.array([0.5]),
+                                 np.array([0.25]), microbatch=2, donate=False)
+        tg, lg = sg(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        tm, lm = sm(ts, jax.random.PRNGKey(2), imgs, labels, mask, 0.05)
+        np.testing.assert_allclose(float(lg), float(lm), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(tg.params), jax.tree.leaves(tm.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_bf16_compute_dtype_runs(self):
         from primia_tpu.train.dp import build_ghost_dp_train_step
 
