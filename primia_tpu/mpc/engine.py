@@ -50,12 +50,23 @@ class MpcContext:
     """
 
     def __init__(self, key, frac_bits: int = fixed.DEFAULT_FRAC_BITS,
-                 protocol: str = "snn"):
+                 protocol: str = "snn", debug_domains: bool = None):
         if protocol not in ("snn", "fss"):
             raise ValueError(f"unknown MPC protocol {protocol!r}")
         self._key = key
         self.frac_bits = frac_bits
         self.protocol = protocol
+        # Debug-only domain guard for the FPT approximation functions
+        # (mpc/functions.py): out-of-domain inputs fail loudly instead
+        # of silently corrupting shares. Reconstructs the operand to
+        # check it — a deliberate privacy breach, debug mode only.
+        # (The reference shares the silent posture, precision.py:476-520.)
+        if debug_domains is None:
+            import os
+
+            debug_domains = os.environ.get(
+                "PRIMIA_MPC_DEBUG_DOMAINS", "0") == "1"
+        self.debug_domains = debug_domains
 
     def next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -226,6 +237,9 @@ class MpcEngine:
         return self._mul(x, y)
 
     def split_last(self, x: AShare, k: int):
+        if x.shape[-1] % k != 0:
+            raise ValueError(  # PlainEngine's jnp.split raises too
+                f"split_last: last dim {x.shape[-1]} not divisible by {k}")
         h = x.shape[-1] // k
         return tuple(
             AShare(x.data[..., i * h:(i + 1) * h]) for i in range(k))

@@ -35,6 +35,7 @@ import math
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from primia_tpu.mpc import beaver, fixed
@@ -43,6 +44,36 @@ from primia_tpu.mpc.shares import AShare
 
 
 # --------------------------------------------------------------- helpers
+
+def _domain_check(ctx, x: AShare, lo: float, hi: float, fn_name: str,
+                  *, absolute: bool = False) -> None:
+    """Debug-mode domain guard (``ctx.debug_domains``): reconstruct the
+    operand and fail loudly when any element leaves the approximation's
+    design range ``[lo, hi]`` (``absolute`` checks ``|x|``). The
+    reference silently returns garbage outside these ranges
+    (``precision.py:476-520``); here the same silent posture is the
+    default, but debug mode turns it into an error. Reconstruction is a
+    deliberate privacy breach — debug only. Uses ``jax.debug.callback``,
+    so under jit the error surfaces as a ``JaxRuntimeError`` at block
+    time (host callbacks are unsupported on the axon TPU tunnel; run
+    debug mode on the CPU mesh)."""
+    if not getattr(ctx, "debug_domains", False):
+        return
+    v = fixed.decode(S.reconstruct(x), ctx.frac_bits)
+    if absolute:
+        v = jnp.abs(v)
+    bad = jnp.logical_or(v < lo, v > hi)
+
+    def _raise(nbad, vmin, vmax):
+        if int(nbad):
+            rng = "|x|" if absolute else "x"
+            raise FloatingPointError(
+                f"mpc.functions.{fn_name}: {int(nbad)} element(s) have "
+                f"{rng} outside the approximation domain [{lo:g}, {hi:g}] "
+                f"(observed [{float(vmin):g}, {float(vmax):g}]); the "
+                "result would be silently wrong")
+
+    jax.debug.callback(_raise, jnp.sum(bad), jnp.min(v), jnp.max(v))
 
 def _enc(ctx, c):
     return fixed.encode(c, ctx.frac_bits)
@@ -120,6 +151,14 @@ def exp(ctx, x: AShare, iterations: int = 8) -> AShare:
     ``d = iterations`` (``precision.py:566-579``). Accurate for
     ``x in [-2^d, ~8]`` (beyond, the base leaves the convergent region).
     """
+    _domain_check(ctx, x, -(2.0 ** iterations), 8.0, "exp")
+    return _exp_unchecked(ctx, x, iterations)
+
+
+def _exp_unchecked(ctx, x: AShare, iterations: int = 8) -> AShare:
+    """``exp`` body without the domain guard — for internal callers
+    (``log``/``reciprocal``/``sigmoid``) whose intermediates leave the
+    user-facing domain only to underflow harmlessly toward zero."""
     y = add_public(ctx, _div_pow2(x, iterations), 1.0)
     for _ in range(iterations):
         y = _mul(ctx, y, y)
@@ -136,13 +175,14 @@ def log(ctx, x: AShare, iterations: int = 2, exp_iterations: int = 8) -> AShare:
 
     Domain: x in ~[1e-3, 2e2] (the initialization's design range).
     """
-    e0 = exp(ctx, add_public(ctx, S.mul_public(x, -2), -1.4),
-             iterations=exp_iterations)
+    _domain_check(ctx, x, 1e-3, 2e2, "log")
+    e0 = _exp_unchecked(ctx, add_public(ctx, S.mul_public(x, -2), -1.4),
+                        iterations=exp_iterations)
     y = S.add(mul_public(ctx, x, 1.0 / 31.0),
               add_public(ctx, mul_public(ctx, e0, -20.0), 1.59))
     one = _enc(ctx, 1.0)
     for _ in range(iterations):
-        ey = exp(ctx, S.neg(y), iterations=exp_iterations)
+        ey = _exp_unchecked(ctx, S.neg(y), iterations=exp_iterations)
         h1 = S.add_public(S.neg(_mul(ctx, x, ey)), one)  # h
         h2 = _mul(ctx, h1, h1)
         h3 = _mul(ctx, h2, h1)
@@ -178,11 +218,12 @@ def reciprocal(ctx, x: AShare, method: str = "nr", nr_iters: int = 10) -> AShare
     """
     method = method.lower()
     if method == "nr":
+        _domain_check(ctx, x, 2.0 ** -7, 120.0, "reciprocal", absolute=True)
         s = sign_int(ctx, x)
         ax = beaver.mul(ctx.next_key(), x, s)  # integer factor: no truncation
         r = add_public(
             ctx,
-            S.mul_public(exp(ctx, add_public(ctx, S.neg(ax), 0.5)), 3),
+            S.mul_public(_exp_unchecked(ctx, add_public(ctx, S.neg(ax), 0.5)), 3),
             0.003)
         for _ in range(nr_iters):
             # (r x) first — it converges to 1, so the truncation after
@@ -192,6 +233,7 @@ def reciprocal(ctx, x: AShare, method: str = "nr", nr_iters: int = 10) -> AShare
             r = S.sub(S.mul_public(r, 2), _mul(ctx, r, rx))
         return beaver.mul(ctx.next_key(), r, s)
     if method == "newton":
+        _domain_check(ctx, x, 1e-4, 40.0, "reciprocal[newton]")
         C = 20
         y = S.add_public(S.neg(x), _enc(ctx, C + 1))
         r = mul_public(ctx, y, 1.0 / C)
@@ -203,7 +245,7 @@ def reciprocal(ctx, x: AShare, method: str = "nr", nr_iters: int = 10) -> AShare
     if method == "log":
         s = sign_int(ctx, x)
         ax = beaver.mul(ctx.next_key(), x, s)
-        return beaver.mul(ctx.next_key(), exp(ctx, S.neg(log(ctx, ax))), s)
+        return beaver.mul(ctx.next_key(), _exp_unchecked(ctx, S.neg(log(ctx, ax))), s)
     raise ValueError(f"Invalid method {method} given for reciprocal function")
 
 
@@ -222,6 +264,8 @@ def div(ctx, x: AShare, y: AShare, method: str = "reciprocal", **kw) -> AShare:
     if method == "securenn":
         from primia_tpu.mpc import securenn
 
+        _domain_check(ctx, x, 0.0, 2.0 ** 14, "div[securenn]",
+                      absolute=True)
         sx = sign_int(ctx, x)
         sy = sign_int(ctx, y)
         ax = beaver.mul(ctx.next_key(), x, sx)
@@ -256,7 +300,7 @@ def inverse_sqrt(ctx, x: AShare, iterations: int = 7) -> AShare:
     the reference's misnamed ``reciprocal(method="newton")`` reaches
     after 80 damped steps (see :func:`reciprocal`), at ~1/10 the
     products; the engine's private ``batch_norm`` uses this."""
-    e = exp(ctx, S.neg(add_public(ctx, _div_pow2(x, 1), 0.2)))
+    e = _exp_unchecked(ctx, S.neg(add_public(ctx, _div_pow2(x, 1), 0.2)))
     y = add_public(
         ctx,
         S.sub(S.add(S.mul_public(e, 2), mul_public(ctx, e, 0.2)),
@@ -352,7 +396,7 @@ def _sigmoid_exp(ctx, x: AShare) -> AShare:
     reference recurses into AST division."""
     s = sign_int(ctx, x)
     ax = beaver.mul(ctx.next_key(), x, s)
-    denom = add_public(ctx, exp(ctx, S.neg(ax)), 1.0)
+    denom = add_public(ctx, _exp_unchecked(ctx, S.neg(ax)), 1.0)
     r = reciprocal(ctx, denom, "nr", nr_iters=6)
     return add_public(
         ctx, beaver.mul(ctx.next_key(), add_public(ctx, r, -0.5), s), 0.5)
@@ -469,6 +513,8 @@ def mean(ctx, x: AShare, axis: Optional[int] = None,
         n = math.prod(x.shape)
         summed = AShare(jnp.sum(
             x.data, axis=tuple(range(1, x.data.ndim))))
+        if keepdims:  # match jnp.mean: scalar -> rank-preserving (1,)*ndim
+            summed = AShare(summed.data.reshape((2,) + (1,) * x.ndim))
     else:
         n = x.shape[axis]
         summed = AShare(jnp.sum(x.data, axis=axis + 1, keepdims=keepdims))

@@ -61,6 +61,7 @@ reference's O(n)-round sequential scan.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -272,6 +273,11 @@ def division(key, x: AShare, y: AShare, bit_len_max: int = 32) -> AShare:
     defaults to Q_BITS // 2 = 32 for the same overflow reason).
     Requires ``2^bit_len_max * y < 2^62``.
     """
+    if y.shape != x.shape and math.prod(y.shape) != 1:
+        raise ValueError(
+            f"division: divisor shape {y.shape} must be scalar (size 1) "
+            f"or exactly match the dividend shape {x.shape} — general "
+            "broadcasting would silently divide by the wrong elements")
     xf = S.reshape(x, (-1,))
     yf = S.reshape(y, (-1,)) if y.shape == x.shape else y
     if yf.shape != xf.shape:

@@ -186,8 +186,7 @@ def rnn_apply(E, params, x, hc=None, *, kind: str = "lstm",
         x = E.swap_time_batch(x)
     seq_len = x.shape[0] if E.name == "plain" else x.data.shape[1]
     batch = x.shape[1] if E.name == "plain" else x.data.shape[2]
-    hidden = params["fwd"][0]["whh"].shape[0] if E.name == "plain" else \
-        params["fwd"][0]["whh"].shape[0]
+    hidden = params["fwd"][0]["whh"].shape[0]  # AShare.shape strips party axis
 
     def init_states(cells):
         sts = []

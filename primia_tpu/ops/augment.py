@@ -220,8 +220,12 @@ def build_augment_fn(cfg: AugmentConfig, mean, std, channels: int):
         # distribution-preserving: flip conjugates the affine draw
         # (theta, shear, ty sign-flip — all symmetric uniforms), mirrors
         # the crop offset (uniform), and commutes with CLAHE outright
-        # (uniform tile grid + mirrored bilinear weights). Same gate key
-        # (keys[3]) and probability as before.
+        # (uniform tile grid + mirrored bilinear weights — exact when the
+        # crop resolution divides the tile count; with ceil tiling the
+        # bottom/right edge padding makes flipped images see a slightly
+        # asymmetric tile grid at non-divisible resolutions, a
+        # distributional nit only; canonical 224/8 is exact). Same gate
+        # key (keys[3]) and probability as before.
         keys = jax.random.split(_fast_prng(key), 64)
         flip_m = _gate(keys[3], cfg.individual_prob, B) & _gate(
             keys[2], cfg.overall_prob, B)

@@ -213,3 +213,57 @@ def test_functions_are_jittable():
         np.asarray(fixed.decode(th.sum(0))), np.tanh(x), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(fixed.decode(rc.sum(0))) * x, 1.0, atol=5e-3)
+
+
+class TestDomainGuards:
+    """PRIMIA_MPC_DEBUG_DOMAINS: out-of-domain inputs fail loudly in
+    debug mode instead of silently corrupting shares (the reference
+    keeps the silent posture, ``precision.py:476-520`` — this beats it).
+    Probes at and just beyond the documented edges."""
+
+    def dbg(self):
+        return E.MpcContext(jax.random.PRNGKey(11), debug_domains=True)
+
+    def _expect_raises(self, fn, name):
+        # eager: FloatingPointError straight from the host callback;
+        # under jit: wrapped in JaxRuntimeError at block time
+        with pytest.raises(Exception, match="approximation domain"):
+            np.asarray(dec(fn()))
+
+    def test_log_edges(self):
+        ok = dec(F.log(self.dbg(), enc(np.array([1e-3, 2e2]))))
+        np.testing.assert_allclose(ok, np.log([1e-3, 2e2]), atol=0.25)
+        self._expect_raises(
+            lambda: F.log(self.dbg(), enc(np.array([1e-5]))), "log")
+        self._expect_raises(
+            lambda: F.log(self.dbg(), enc(np.array([500.0]))), "log")
+
+    def test_reciprocal_edges(self):
+        got = dec(F.reciprocal(self.dbg(), enc(np.array([0.01, 100.0]))))
+        np.testing.assert_allclose(got * np.array([0.01, 100.0]), 1.0,
+                                   atol=5e-3)
+        self._expect_raises(
+            lambda: F.reciprocal(self.dbg(), enc(np.array([0.001]))),
+            "reciprocal")
+        self._expect_raises(
+            lambda: F.reciprocal(self.dbg(), enc(np.array([150.0]))),
+            "reciprocal")
+
+    def test_exp_edges(self):
+        ok = dec(F.exp(self.dbg(), enc(np.array([-100.0, 7.9]))))
+        assert np.isfinite(ok).all()
+        self._expect_raises(
+            lambda: F.exp(self.dbg(), enc(np.array([9.0]))), "exp")
+        self._expect_raises(
+            lambda: F.exp(self.dbg(), enc(np.array([-300.0]))), "exp")
+
+    def test_div_securenn_numerator_edge(self):
+        x, y = np.array([20000.0]), np.array([2.0])
+        self._expect_raises(
+            lambda: F.div(self.dbg(), enc(x), enc(y), method="securenn"),
+            "div")
+
+    def test_silent_by_default(self):
+        # default posture matches the reference: no error, garbage out
+        out = dec(F.log(ctx(), enc(np.array([1e-5]))))
+        assert np.isfinite(out).all() or True  # must simply not raise
