@@ -224,6 +224,31 @@ def main_federated_ws(args: Arguments, verbose: bool = True,
                 break
         if verbose:
             print("Train Epoch: {} \tLoss: {:.6f}".format(epoch, float(np.mean(losses))))
+        if args.differentially_private and verbose:
+            # nodes clip+noise locally (serve/node.py:_train_round);
+            # account per node from what crossed the wire: sampling
+            # rate 1/n_batches (batch of N/n_batches from N examples)
+            # and rounds*steps_round steps per epoch
+            from primia_tpu.train.dp import rdp_epsilon
+
+            per_node = []
+            for w in worker_names:
+                nb = max(int(results[w]["n_batches"]), 1)
+                eps, alpha = rdp_epsilon(
+                    noise_multiplier=args.noise_multiplier,
+                    sample_rate=min(1.0 / nb, 1.0),
+                    steps=epoch * rounds * steps_round,
+                    delta=args.target_delta,
+                )
+                per_node.append((w, eps, alpha))
+            worst = max(per_node, key=lambda t: t[1])
+            print(
+                "(eps = {:.2f}, delta = {}) at alpha = {} [worst node: {}; "
+                "per-node eps: {}]".format(
+                    worst[1], args.target_delta, worst[2], worst[0],
+                    ", ".join(f"{w}={e:.2f}" for w, e, _ in per_node),
+                )
+            )
         if (epoch % args.test_interval) == 0:
             _, matthews = run_eval(eval_step, params, state, val_loader, epoch,
                                    class_names, verbose)
@@ -288,8 +313,15 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     optimizer = make_optimizer(args)
     scheduler = make_scheduler(args)
-    train_step_raw = build_train_step(model_def, optimizer, args, mean, std, cw,
-                                      donate=False, jit_compile=False)
+    # per-node DP-SGD composes with secure aggregation here (the
+    # reference hard-exits on --train_federated + DP, train.py:310):
+    # the DP step has the same signature as the plain one, so the node
+    # axis vmaps over it unchanged, and each node's clipped+noised
+    # update is then securely aggregated like any other
+    from primia_tpu.train.dp import select_train_step
+
+    train_step_raw = select_train_step(model_def, optimizer, args, mean, std,
+                                       cw, donate=False, jit_compile=False)
     # one program for all nodes: vmap over the stacked node axis, with
     # the inactive-node masking fused in, under ONE outer jit. (An outer
     # vmap around an inner jit re-traces the whole step on every call.)
@@ -465,6 +497,31 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
             if verbose:
                 print("Train Epoch: {} \tLoss: {:.6f}".format(
                     epoch, float(np.mean(epoch_losses))))
+            if args.differentially_private and verbose:
+                # per-node accounting: each node's mechanism only ever
+                # touches that node's shard, so its epsilon is the
+                # subsampled-Gaussian RDP bound at its own sampling
+                # rate/step count; the report leads with the worst node
+                from primia_tpu.train.dp import rdp_epsilon
+
+                per_node = []
+                for i, w in enumerate(worker_names):
+                    n_i = int(node_imgs[i].shape[0])
+                    eps, alpha = rdp_epsilon(
+                        noise_multiplier=args.noise_multiplier,
+                        sample_rate=min(args.batch_size / max(n_i, 1), 1.0),
+                        steps=epoch * num_batches[i],
+                        delta=args.target_delta,
+                    )
+                    per_node.append((w, eps, alpha))
+                worst = max(per_node, key=lambda t: t[1])
+                print(
+                    "(eps = {:.2f}, delta = {}) at alpha = {} [worst node: "
+                    "{}; per-node eps: {}]".format(
+                        worst[1], args.target_delta, worst[2], worst[0],
+                        ", ".join(f"{w}={e:.2f}" for w, e, _ in per_node),
+                    )
+                )
 
             if (epoch % args.test_interval) == 0:
                 val_loss, matthews = run_eval(eval_step, *local_model(stacked), val_loader,

@@ -485,7 +485,7 @@ class GridNode:
         from primia_tpu.data import BatchLoader
         from primia_tpu.nn import create_model
         from primia_tpu.train.optim import make_optimizer
-        from primia_tpu.train.steps import TrainState, build_train_step
+        from primia_tpu.train.steps import TrainState
 
         if "#traindata" not in self.store:
             return {"error": "node hosts no training data"}
@@ -499,7 +499,13 @@ class GridNode:
         optimizer = make_optimizer(args)
         mean = self.store["#datamean"]
         std = self.store["#datastd"]
-        step = build_train_step(model_def, optimizer, args, mean, std, donate=False)
+        # DP-SGD runs node-side when the round's config asks for it:
+        # clipping + noising happen where the raw data lives, so the
+        # parameters this verb returns are already privatized
+        from primia_tpu.train.dp import select_train_step
+
+        step = select_train_step(model_def, optimizer, args, mean, std,
+                                 donate=False)
 
         tree_params = _unflatten(params)
         model_state = _unflatten(msg["model_state"])

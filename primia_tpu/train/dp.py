@@ -39,7 +39,7 @@ DEFAULT_ALPHAS = (2, 4, 8, 16, 32, 64, 100)
 def build_dp_train_step(model_def, optimizer, args, mean, std,
                         class_weights: Optional[np.ndarray] = None,
                         microbatch: Optional[int] = None,
-                        donate: bool = True):
+                        donate: bool = True, jit_compile: bool = True):
     """Jitted DP step: ``step(ts, key, images_u8, labels, mask, lr) ->
     (ts, loss)`` — drop-in for ``build_train_step``.
 
@@ -128,6 +128,8 @@ def build_dp_train_step(model_def, optimizer, args, mean, std,
         new_p, new_opt = optimizer.update(grads, ts.opt_state, ts.params, lr)
         return TrainState(new_p, ts.model_state, new_opt), loss_sum / denom
 
+    if not jit_compile:  # federated wrappers vmap the raw step
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -387,7 +389,7 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
 
 def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
                               class_weights: Optional[np.ndarray] = None,
-                              donate: bool = True):
+                              donate: bool = True, jit_compile: bool = True):
     """Ghost-clipping DP step: same contract and DP semantics as
     ``build_dp_train_step`` (clip each per-example grad to
     ``max_grad_norm``, sum, noise, /batch), but per-example gradients
@@ -487,7 +489,41 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
         new_p, new_opt = optimizer.update(grads, ts.opt_state, ts.params, lr)
         return TrainState(new_p, ts.model_state, new_opt), loss_sum / denom
 
+    if not jit_compile:  # federated wrappers vmap the raw step
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def select_train_step(model_def, optimizer, args, mean, std,
+                      class_weights: Optional[np.ndarray] = None,
+                      donate: bool = True, jit_compile: bool = True):
+    """The train step the config asks for: plain, or DP-SGD when
+    ``args.differentially_private`` (ghost-norm clipping by default,
+    ``PRIMIA_DP_GHOST=0`` restores the microbatched per-example path).
+
+    One selection point shared by the local loop, the simulated
+    federated loop, and the grid node's ``train_round`` verb — the
+    reference instead hard-exits on ``--train_federated`` + DP
+    (``train.py:310``); here per-node DP-SGD composes with secure
+    aggregation because the DP step has the same ``(ts, key, imgs,
+    labels, mask, lr)`` contract as the plain one and vmaps over the
+    node axis.
+    """
+    import os
+
+    from primia_tpu.train.steps import build_train_step
+
+    if not args.differentially_private:
+        return build_train_step(model_def, optimizer, args, mean, std,
+                                class_weights, donate=donate,
+                                jit_compile=jit_compile)
+    if os.environ.get("PRIMIA_DP_GHOST", "1") != "0":
+        return build_ghost_dp_train_step(model_def, optimizer, args, mean,
+                                         std, class_weights, donate=donate,
+                                         jit_compile=jit_compile)
+    return build_dp_train_step(model_def, optimizer, args, mean, std,
+                               class_weights, donate=donate,
+                               jit_compile=jit_compile)
 
 
 # ------------------------------------------------------------- accounting

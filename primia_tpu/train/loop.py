@@ -157,23 +157,11 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         if verbose:
             print(f"Resuming from {args.resume_checkpoint} at epoch {start_at_epoch}")
 
-    if args.differentially_private:
-        # ghost-norm clipping by default: per-example grad NORMS in
-        # closed form + a reweighted second backward — ~2x the
-        # non-private step instead of the microbatched per-example
-        # path's ~3.5x. PRIMIA_DP_GHOST=0 restores the microbatch path.
-        if os.environ.get("PRIMIA_DP_GHOST", "1") != "0":
-            from primia_tpu.train.dp import build_ghost_dp_train_step
+    # plain step, or DP-SGD when the config asks (ghost-norm clipping
+    # by default; PRIMIA_DP_GHOST=0 restores the microbatch path)
+    from primia_tpu.train.dp import select_train_step
 
-            train_step = build_ghost_dp_train_step(
-                model_def, optimizer, args, mean, std, cw)
-        else:
-            from primia_tpu.train.dp import build_dp_train_step
-
-            train_step = build_dp_train_step(
-                model_def, optimizer, args, mean, std, cw)
-    else:
-        train_step = build_train_step(model_def, optimizer, args, mean, std, cw)
+    train_step = select_train_step(model_def, optimizer, args, mean, std, cw)
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
     # datasets live in HBM when they fit: batches become on-device

@@ -315,3 +315,75 @@ class TestRdpAccounting:
         from primia_tpu.train.dp import rdp_sampled_gaussian
 
         assert rdp_sampled_gaussian(1.0, 2.0, 8) == pytest.approx(8 / (2 * 4.0))
+
+
+class TestFederatedDp:
+    """DP x federated composition (parity-plus: the reference hard-exits
+    on --train_federated + DP, train.py:310). The node-axis vmap must
+    apply the exact same per-node DP mechanism as running the step on
+    each node sequentially."""
+
+    @pytest.mark.parametrize("ghost", [True, False])
+    def test_vmapped_step_matches_sequential(self, monkeypatch, ghost):
+        monkeypatch.setenv("PRIMIA_DP_GHOST", "1" if ghost else "0")
+        from primia_tpu.train.dp import select_train_step
+        from primia_tpu.train.optim import make_optimizer
+
+        B, n_nodes = 6, 2
+        args = Arguments(model="simpleconv", train_resolution=28,
+                         inference_resolution=28, batch_size=B,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.7, max_grad_norm=1.0)
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        raw = select_train_step(md, opt, args, np.array([0.5]),
+                                np.array([0.25]), donate=False,
+                                jit_compile=False)
+        rng = np.random.default_rng(7)
+        imgs = jnp.asarray(rng.integers(0, 255, (n_nodes, B, 28, 28, 1),
+                                        dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, (n_nodes, B), np.int64)
+                             .astype(np.int32))
+        # heterogeneous masks: node 1's final two rows are padding
+        mask = jnp.asarray(np.stack([np.ones(B), [1, 1, 1, 1, 0, 0]])
+                           .astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(5), n_nodes)
+
+        stacked = jax.tree.map(
+            lambda a: jnp.stack([a] * n_nodes),
+            TrainState(params, state, opt.init(params)))
+        fed = jax.jit(jax.vmap(raw, in_axes=(0, 0, 0, 0, 0, None)))
+        fed_ts, fed_loss = fed(stacked, keys, imgs, labels, mask, 0.05)
+
+        seq = jax.jit(raw)
+        for i in range(n_nodes):
+            ts_i, loss_i = seq(TrainState(params, state, opt.init(params)),
+                               keys[i], imgs[i], labels[i], mask[i], 0.05)
+            np.testing.assert_allclose(float(fed_loss[i]), float(loss_i),
+                                       rtol=1e-5)
+            for a, b in zip(jax.tree.leaves(fed_ts.params),
+                            jax.tree.leaves(ts_i.params)):
+                np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
+                                           rtol=2e-4, atol=2e-5)
+
+    def test_select_train_step_dispatch(self, monkeypatch):
+        from primia_tpu.train import dp as dp_mod
+        from primia_tpu.train.optim import make_optimizer
+
+        args = Arguments(model="simpleconv", train_resolution=28,
+                         inference_resolution=28, batch_size=4,
+                         optimizer="SGD", differentially_private=False)
+        md = create_model(args, num_classes=3)
+        opt = make_optimizer(args)
+        # plain config -> plain step (smoke: runs and returns finite loss)
+        step = dp_mod.select_train_step(md, opt, args, np.array([0.5]),
+                                        np.array([0.25]), donate=False)
+        params, state = md.init(jax.random.PRNGKey(0))
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 28, 28, 1), np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4).astype(np.int32))
+        _, loss = step(ts, jax.random.PRNGKey(1), imgs, labels,
+                       jnp.ones(4, jnp.float32), 0.05)
+        assert np.isfinite(float(loss))

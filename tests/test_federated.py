@@ -130,3 +130,30 @@ def test_federated_end_to_end(fed_dir, tmp_path, monkeypatch, unencrypted):
     state = ckpt.load_model(finals[0])
     assert set(state["optim_state_dict"].keys()) == {"worker1", "worker2", "worker3"}
     assert state["args"].train_federated
+
+
+def test_federated_dp_end_to_end(fed_dir, tmp_path, monkeypatch, capsys):
+    """DP x federated (parity-plus: the reference exit()s on this combo,
+    train.py:310): per-node ghost-DP steps + secure aggregation, with
+    per-node RDP accounting reported each epoch."""
+    monkeypatch.chdir(tmp_path)
+    from primia_tpu.parallel.federated import main_federated
+    from primia_tpu.train import checkpoint as ckpt
+
+    args = Arguments(
+        model="simpleconv", train_resolution=28, inference_resolution=28,
+        batch_size=4, test_batch_size=6, epochs=1, lr=0.05, end_lr=0.05,
+        optimizer="SGD", momentum=0.0, seed=42, test_interval=1,
+        data_dir=str(fed_dir), train_federated=True,
+        differentially_private=True, noise_multiplier=1.3, max_grad_norm=1.0,
+        unencrypted_aggregation=False, sync_every_n_batch=2,
+        repetitions_dataset=1, weighted_averaging=True,
+    )
+    score = main_federated(args, verbose=True, weights_dir=str(tmp_path / "w"))
+    out = capsys.readouterr().out
+    assert isinstance(score, float)
+    # per-node accounting reported (worst node + per-node epsilons)
+    assert "worst node" in out and "worker3=" in out
+    finals = list((tmp_path / "w").glob("final_federated_*.pt"))
+    assert len(finals) == 1
+    assert ckpt.load_model(finals[0])["args"].differentially_private
