@@ -40,7 +40,24 @@ class PlainEngine:
 
     @staticmethod
     def conv2d(x, w, stride: int = 1, padding: int = 0):
-        """NHWC conv with HWIO weights, symmetric int padding."""
+        """NHWC conv with HWIO weights, symmetric int padding.
+
+        3x3/s1/p1 bf16 convs route through ``ops.pallas_wgrad.
+        conv3x3_s1p1`` on TPU: identical forward/data-grad (XLA's own
+        convs), but the weight-grad runs on the Pallas one-read kernel
+        (the train step's largest sub-roofline bucket, BASELINE.md).
+        """
+        if (stride == 1 and padding == 1 and w.shape[:2] == (3, 3)
+                and x.dtype == jnp.bfloat16 and w.dtype == jnp.bfloat16
+                and x.ndim == 4 and x.shape[0] > 1
+                # C >= 128 only: smaller activations live batch-minor
+                # ({0,3,2,1}) and the kernel's row-major operands would
+                # force whole-tensor layout copies (round-4 trace)
+                and x.shape[-1] >= 128 and w.shape[-1] >= 128):
+            from primia_tpu.ops.pallas_wgrad import conv3x3_s1p1, use_pallas_wgrad
+
+            if use_pallas_wgrad():
+                return conv3x3_s1p1(x, w)
         return jax.lax.conv_general_dilated(
             x,
             w,
@@ -209,6 +226,21 @@ def batch_norm(
     if params is not None and "scale" in params:
         return E.affine(x, params["scale"], params["offset"]), state
     if train:
+        if x.ndim == 4 and x.dtype == jnp.bfloat16:
+            from primia_tpu.ops.pallas_bn import bn_train, use_pallas_bn
+
+            if use_pallas_bn():
+                # Pallas bf16-read f32-accumulate reductions for the
+                # stats (fwd) and dgamma/dbeta (bwd); elementwise parts
+                # stay jnp so XLA keeps fusing them (ops/pallas_bn.py)
+                y, mean, var = bn_train(x, params["gamma"], params["beta"], eps)
+                n = x.size // x.shape[-1]
+                unbiased = var * (n / max(n - 1, 1))
+                return y, {
+                    "mean": (1 - momentum) * state["mean"] + momentum * mean,
+                    "var": (1 - momentum) * state["var"] + momentum * unbiased,
+                    "count": state["count"] + 1,
+                }
         # statistics always in float32 — with bfloat16 compute the
         # reductions would otherwise lose ~8 bits of the batch mean.
         # mean and E[x^2] are INDEPENDENT reductions over the same

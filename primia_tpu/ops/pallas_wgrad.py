@@ -1,0 +1,156 @@
+"""Pallas weight-gradient kernel for unit-stride 3x3 SAME convolutions.
+
+The 3x3 weight-grads are the largest sub-roofline bucket of the ResNet
+train step (BASELINE.md round-3: 6.08 ms/step at 45-60% of roof @
+batch 256). XLA lowers a wgrad as a dilated convolution whose input
+re-reads scale with the kernel taps; a shifted-matmul rewrite at the
+XLA level re-reads ``x`` nine times from HBM and loses (documented in
+BASELINE.md). This kernel owns the reuse instead:
+
+* each grid step DMAs one batch-chunk of ``x`` (padded in h) and ``g``
+  once into VMEM,
+* builds the 3 h-shifted copies of ``x`` and the 3 w-shifted copies of
+  ``g`` *in VMEM* (``X3``: (n*H*W, 3*ci), ``G3``: (n*H*W, 3*co)) —
+  shifting ``g`` by ``-kw`` instead of ``x`` by ``+kw`` is what lets one
+  flattened (h,w) contraction produce all nine taps:
+  ``dw[kh,kw] = sum_{oh,ow} x_pad[oh+kh, ow+kw] g[oh,ow]
+             = sum_{h,w}  x_h[h+kh, w]  g_w[h, w+2-kw]``,
+* one bf16 matmul ``X3^T @ G3`` per step accumulates all nine taps
+  into a (3ci, 3co) f32 scratch across the sequential TPU grid.
+
+HBM traffic is exactly one read of ``x`` and one of ``g``; MXU tiles
+are (3ci, 3co) — full 128-lane tiles for every ResNet stage (ci >= 64).
+
+The matching forward/data-grad stay on XLA's convolutions (they already
+run at the roof); :func:`conv3x3_s1p1` packages the three as a
+``custom_vjp`` so ``jax.grad`` picks this kernel up transparently.
+Reference hot loop this accelerates: ``torchlib/utils.py:1236-1292``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I0 = np.int32(0)
+
+
+def _pick_batch_chunk(B: int, H: int, W: int, C: int) -> int:
+    """Largest batch chunk whose VMEM working set stays under ~10 MB.
+
+    Working set per step: x_h (n,(H+2),W,ci) + g (n,H,(W+2),co) bf16
+    + X3/G3 (n*H*W, 3c) bf16 each + (3ci,3co) f32 accumulator.
+    """
+    per_img = (H + 2) * W * C * 2 + H * (W + 2) * C * 2 + 2 * H * W * 3 * C * 2
+    budget = 10 * 1024 * 1024 - 9 * C * C * 4
+    n = max(1, budget // max(per_img, 1))
+    n = int(min(n, B))
+    while B % n:
+        n -= 1
+    return n
+
+
+def _wgrad_kernel(x_ref, g_ref, out_ref, acc_ref, *, n, H, W, ci, co):
+    """One batch-chunk per grid step; acc persists across the grid."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # (n, H+2, W, ci) bf16, zero h-halo
+    g = g_ref[:]  # (n, H,  W+2, co) bf16, zero w-halo
+    X3 = jnp.concatenate(
+        [x[:, kh : kh + H].reshape(n * H * W, ci) for kh in range(3)], axis=1
+    )
+    G3 = jnp.concatenate(
+        [g[:, :, 2 - kw : 2 - kw + W].reshape(n * H * W, co) for kw in range(3)],
+        axis=1,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        X3, G3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def conv3x3_wgrad_pallas(x: jnp.ndarray, g: jnp.ndarray, *, interpret: bool = False
+                         ) -> jnp.ndarray:
+    """dL/dw for y = conv(x, w, stride 1, SAME(pad 1)), 3x3 HWIO kernel.
+
+    x: (B, H, W, ci); g: (B, H, W, co) — cotangent of y. Returns
+    (3, 3, ci, co) float32.
+    """
+    B, H, W, ci = x.shape
+    co = g.shape[-1]
+    n = _pick_batch_chunk(B, H, W, max(ci, co))
+    dt = jnp.bfloat16
+    # zero halos materialized once (fused pads, cheap); shifting g by -kw
+    # needs one w-halo column on each side, x one h-halo row
+    x_h = jnp.pad(x.astype(dt), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    g_w = jnp.pad(g.astype(dt), ((0, 0), (0, 0), (1, 1), (0, 0)))
+
+    kernel = functools.partial(_wgrad_kernel, n=n, H=H, W=W, ci=ci, co=co)
+    dw2 = pl.pallas_call(
+        kernel,
+        grid=(B // n,),
+        in_specs=[
+            pl.BlockSpec((n, H + 2, W, ci), lambda b: (b, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, H, W + 2, co), lambda b: (b, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * ci, 3 * co), lambda b: (_I0, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * ci, 3 * co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * ci, 3 * co), jnp.float32)],
+        interpret=interpret,
+    )(x_h, g_w)
+    # dw2[kh*ci + ci', kw*co + co'] -> (3, 3, ci, co) HWIO
+    return dw2.reshape(3, ci, 3, co).transpose(0, 2, 1, 3)
+
+
+def _conv_s1p1(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv3x3_s1p1(x, w):
+    """3x3/s1/p1 NHWC conv whose weight-grad runs on the Pallas kernel.
+
+    Forward and data-grad are XLA's own convolutions (already at the
+    roof); only the wgrad lowering is replaced.
+    """
+    return _conv_s1p1(x, w)
+
+
+def _fwd(x, w):
+    return _conv_s1p1(x, w), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    # data grad: full-correlation with the spatially-flipped, IO-swapped
+    # kernel — exact for stride 1 SAME
+    w_rot = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dx = _conv_s1p1(g, w_rot.astype(g.dtype)).astype(x.dtype)
+    dw = conv3x3_wgrad_pallas(x, g).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_s1p1.defvjp(_fwd, _bwd)
+
+
+def use_pallas_wgrad() -> bool:
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("PRIMIA_PALLAS_WGRAD", "1") != "0")

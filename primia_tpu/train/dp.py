@@ -173,9 +173,14 @@ class _GhostEngine:
         return y + t
 
     def conv2d(self, x, w, stride: int = 1, padding: int = 0):
-        from primia_tpu.nn.core import PLAIN
-
-        y = PLAIN.conv2d(x, w, stride=stride, padding=padding)
+        # raw XLA conv, NOT PLAIN.conv2d: the plain engine routes 3x3/s1
+        # bf16 convs through a custom_vjp whose backward computes a
+        # weight-grad kernel — pass 1 here differentiates wrt the taps
+        # only and must stay a pure input-cotangent chain
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         kh, kw, cin, cout = w.shape
         T = y.shape[1] * y.shape[2]
         # T^2 gram form only where T is small enough that the grams
@@ -367,6 +372,17 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
                 from primia_tpu.nn.resnet import _stem_s2d_conv
 
                 conv_fn = lambda w_: _stem_s2d_conv(x, w_)
+            elif ((kh, kw, s, p) == (3, 3, 1, 1) and x.dtype == jnp.bfloat16
+                  and x.shape[-1] >= 128 and m["wshape"][-1] >= 128):
+                from primia_tpu.ops.pallas_wgrad import (
+                    conv3x3_wgrad_pallas, use_pallas_wgrad)
+
+                if use_pallas_wgrad():
+                    # straight to the Pallas one-read wgrad kernel —
+                    # no data-grad conv to rely on DCE to remove
+                    out.append((conv3x3_wgrad_pallas(x, dyc).astype(x.dtype),))
+                    continue
+                conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
             else:
                 conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
             _, vjp_w = jax.vjp(conv_fn, jnp.zeros(m["wshape"], x.dtype))

@@ -278,3 +278,145 @@ class TestWarpDenseTwopass:
         # interior only (edge zero-fill composition differs by design)
         err = np.abs(got - want)[:, 4:-4, 4:-4]
         assert err.mean() < 0.02 and np.percentile(err, 99) < 0.15
+
+
+class TestWgradPallas:
+    """3x3/s1/p1 weight-grad kernel (ops/pallas_wgrad.py)."""
+
+    def _ref_wgrad(self, x, g):
+        import jax
+        from primia_tpu.ops.pallas_wgrad import _conv_s1p1
+
+        _, vjp = jax.vjp(
+            lambda w_: _conv_s1p1(x.astype(jnp.float32), w_),
+            jnp.zeros((3, 3, x.shape[-1], g.shape[-1]), jnp.float32))
+        (dw,) = vjp(g.astype(jnp.float32))
+        return dw
+
+    def test_matches_xla_wgrad(self):
+        from primia_tpu.ops.pallas_wgrad import conv3x3_wgrad_pallas
+
+        rng = np.random.default_rng(0)
+        for (B, H, W, ci, co) in [(4, 8, 8, 8, 16), (3, 9, 11, 8, 8),
+                                  (2, 5, 7, 16, 8)]:
+            x = jnp.asarray(rng.standard_normal((B, H, W, ci)), jnp.bfloat16)
+            g = jnp.asarray(rng.standard_normal((B, H, W, co)), jnp.bfloat16)
+            got = np.asarray(conv3x3_wgrad_pallas(x, g, interpret=True))
+            want = np.asarray(self._ref_wgrad(x, g))
+            np.testing.assert_allclose(got, want, atol=1e-3 * np.abs(want).max())
+
+    def test_custom_vjp_grads_match(self):
+        """Full conv3x3_s1p1: dx and dw vs XLA's own conv grads."""
+        import os
+        from unittest import mock
+        from primia_tpu.ops.pallas_wgrad import conv3x3_s1p1, _conv_s1p1
+
+        rng = np.random.default_rng(1)
+        B, H, W, ci, co = 2, 7, 9, 8, 16
+        x = jnp.asarray(rng.standard_normal((B, H, W, ci)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.bfloat16)
+
+        def loss(fn, x_, w_):
+            return jnp.sum(jnp.sin(fn(x_, w_).astype(jnp.float32)))
+
+        # interpreter-mode Pallas for the CPU suite
+        with mock.patch.dict(os.environ, {"PRIMIA_PALLAS_INTERPRET": "1"}):
+            import primia_tpu.ops.pallas_wgrad as m
+
+            orig = m.conv3x3_wgrad_pallas
+            with mock.patch.object(
+                    m, "conv3x3_wgrad_pallas",
+                    lambda x_, g_: orig(x_, g_, interpret=True)):
+                gx_p, gw_p = jax.grad(
+                    lambda a, b: loss(conv3x3_s1p1, a, b), (0, 1))(x, w)
+        gx_r, gw_r = jax.grad(
+            lambda a, b: loss(_conv_s1p1, a, b), (0, 1))(x, w)
+        np.testing.assert_allclose(
+            np.asarray(gx_p, np.float32), np.asarray(gx_r, np.float32),
+            atol=2e-2 * max(1e-9, np.abs(np.asarray(gx_r, np.float32)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gw_p, np.float32), np.asarray(gw_r, np.float32),
+            atol=2e-2 * max(1e-9, np.abs(np.asarray(gw_r, np.float32)).max()))
+
+
+class TestBnPallas:
+    """Train-mode BN reduction kernels (ops/pallas_bn.py)."""
+
+    def _with_interpret(self):
+        import os
+        from unittest import mock
+
+        return mock.patch.dict(os.environ, {"PRIMIA_PALLAS_INTERPRET": "1"})
+
+    def test_channel_sums(self):
+        from primia_tpu.ops.pallas_bn import channel_sums
+
+        rng = np.random.default_rng(0)
+        # (128, 4, 4, 8) exercises the batch-minor transpose-view path
+        # (B >= 128, C < 128); the rest the row-major / folded paths
+        for shape in [(4, 10, 10, 64), (2, 7, 7, 128), (5, 3, 3, 8),
+                      (128, 4, 4, 8)]:
+            x = jnp.asarray(rng.standard_normal(shape) * 2 + 1, jnp.bfloat16)
+            with self._with_interpret():
+                s1, s2 = channel_sums(x)
+            xf = np.asarray(x, np.float32).reshape(-1, shape[-1])
+            np.testing.assert_allclose(np.asarray(s1), xf.sum(0), rtol=2e-3,
+                                       atol=5e-2)
+            np.testing.assert_allclose(np.asarray(s2), (xf * xf).sum(0),
+                                       rtol=2e-3, atol=5e-2)
+
+    def test_grad_channel_sums_batch_minor(self):
+        from primia_tpu.ops.pallas_bn import grad_channel_sums
+
+        rng = np.random.default_rng(2)
+        B, H, W, C = 130, 3, 5, 16  # odd B: partial lane tile
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        with self._with_interpret():
+            s1, s2 = grad_channel_sums(g, x)
+        gf = np.asarray(g, np.float32).reshape(-1, C)
+        xf = np.asarray(x, np.float32).reshape(-1, C)
+        np.testing.assert_allclose(np.asarray(s1), gf.sum(0), rtol=2e-3,
+                                   atol=5e-2)
+        np.testing.assert_allclose(np.asarray(s2), (gf * xf).sum(0),
+                                   rtol=2e-3, atol=5e-2)
+
+    def test_bn_train_forward_and_grads(self):
+        from primia_tpu.ops.pallas_bn import bn_train
+
+        rng = np.random.default_rng(1)
+        B, H, W, C = 3, 6, 5, 16
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)) + 0.5, jnp.bfloat16)
+        gamma = jnp.asarray(rng.standard_normal(C) * 0.3 + 1, jnp.bfloat16)
+        beta = jnp.asarray(rng.standard_normal(C) * 0.2, jnp.bfloat16)
+        gout = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+
+        def ref(x_, ga, be):
+            xf = x_.astype(jnp.float32)
+            mean = jnp.mean(xf, (0, 1, 2))
+            var = jnp.maximum(jnp.mean(xf * xf, (0, 1, 2)) - mean ** 2, 0.0)
+            inv = ga.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
+            return xf * inv + (be.astype(jnp.float32) - mean * inv), mean, var
+
+        with self._with_interpret():
+            y_p, m_p, v_p = bn_train(x, gamma, beta)
+        y_r, m_r, v_r = ref(x, gamma, beta)
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y_p, np.float32),
+                                   np.asarray(y_r), atol=0.05)
+
+        def loss_p(x_, ga, be):
+            return jnp.sum(bn_train(x_, ga, be)[0].astype(jnp.float32)
+                           * gout.astype(jnp.float32))
+
+        def loss_r(x_, ga, be):
+            return jnp.sum(ref(x_, ga, be)[0] * gout.astype(jnp.float32))
+
+        with self._with_interpret():
+            gp = jax.grad(loss_p, (0, 1, 2))(x, gamma, beta)
+        gr = jax.grad(loss_r, (0, 1, 2))(x, gamma, beta)
+        for a, b in zip(gp, gr):
+            bf = np.asarray(b, np.float32)
+            np.testing.assert_allclose(np.asarray(a, np.float32), bf,
+                                       atol=2e-2 * max(1e-9, np.abs(bf).max()))
