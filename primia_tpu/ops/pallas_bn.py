@@ -290,5 +290,9 @@ bn_train.defvjp(_bn_fwd, _bn_bwd)
 
 
 def use_pallas_bn() -> bool:
+    """Opt-in (PRIMIA_PALLAS_BN=1): correct on the chip but the bench
+    A/B showed 5,894 vs 8,053 img/s @ batch 512 — splitting the stats
+    out of XLA's BN fusions costs more in lost fusion than the one-pass
+    reductions save. Kept for the redesign."""
     return (jax.default_backend() == "tpu"
-            and os.environ.get("PRIMIA_PALLAS_BN", "1") != "0")
+            and os.environ.get("PRIMIA_PALLAS_BN", "0") == "1")

@@ -43,13 +43,19 @@ _I0 = np.int32(0)
 
 
 def _pick_batch_chunk(B: int, H: int, W: int, C: int) -> int:
-    """Largest batch chunk whose VMEM working set stays under ~10 MB.
+    """Largest batch chunk whose VMEM working set stays under budget.
 
-    Working set per step: x_h (n,(H+2),W,ci) + g (n,H,(W+2),co) bf16
-    + X3/G3 (n*H*W, 3c) bf16 each + (3ci,3co) f32 accumulator.
+    The (3ci,3co) f32 accumulator IS the output block (no separate
+    scratch — at C=512 two copies blew the 16 MB scoped-VMEM limit on
+    the real chip). Inputs are double-buffered by the pipeline, the
+    shifted X3/G3 copies live on the stack once.
     """
-    per_img = (H + 2) * W * C * 2 + H * (W + 2) * C * 2 + 2 * H * W * 3 * C * 2
-    budget = 10 * 1024 * 1024 - 9 * C * C * 4
+    acc = 9 * C * C * 4
+    per_img = (
+        2 * ((H + 2) * W * C * 2 + H * (W + 2) * C * 2)  # x/g, double-buffered
+        + 2 * H * W * 3 * C * 2 * 2  # X3 + G3 stack temporaries
+    )
+    budget = 13 * 1024 * 1024 - acc
     n = max(1, budget // max(per_img, 1))
     n = int(min(n, B))
     while B % n:
@@ -57,12 +63,12 @@ def _pick_batch_chunk(B: int, H: int, W: int, C: int) -> int:
     return n
 
 
-def _wgrad_kernel(x_ref, g_ref, out_ref, acc_ref, *, n, H, W, ci, co):
-    """One batch-chunk per grid step; acc persists across the grid."""
+def _wgrad_kernel(x_ref, g_ref, out_ref, *, n, H, W, ci, co):
+    """One batch-chunk per grid step; out block persists across the grid."""
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
     x = x_ref[:]  # (n, H+2, W, ci) bf16, zero h-halo
     g = g_ref[:]  # (n, H,  W+2, co) bf16, zero w-halo
@@ -73,13 +79,9 @@ def _wgrad_kernel(x_ref, g_ref, out_ref, acc_ref, *, n, H, W, ci, co):
         [g[:, :, 2 - kw : 2 - kw + W].reshape(n * H * W, co) for kw in range(3)],
         axis=1,
     )
-    acc_ref[:] += jax.lax.dot_general(
+    out_ref[:] += jax.lax.dot_general(
         X3, G3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
 
 
 def conv3x3_wgrad_pallas(x: jnp.ndarray, g: jnp.ndarray, *, interpret: bool = False
@@ -111,7 +113,6 @@ def conv3x3_wgrad_pallas(x: jnp.ndarray, g: jnp.ndarray, *, interpret: bool = Fa
         out_specs=pl.BlockSpec((3 * ci, 3 * co), lambda b: (_I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3 * ci, 3 * co), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3 * ci, 3 * co), jnp.float32)],
         interpret=interpret,
     )(x_h, g_w)
     # dw2[kh*ci + ci', kw*co + co'] -> (3, 3, ci, co) HWIO
@@ -152,5 +153,9 @@ conv3x3_s1p1.defvjp(_fwd, _bwd)
 
 
 def use_pallas_wgrad() -> bool:
+    """Opt-in (PRIMIA_PALLAS_WGRAD=1): the v1 kernel is correct on the
+    chip but slower than XLA's wgrad (bench A/B 6,229 vs 8,053 img/s @
+    batch 512 — the per-chunk VMEM budget forces 2-4-image chunks whose
+    (n*H*W) contractions starve the MXU). Kept for the redesign."""
     return (jax.default_backend() == "tpu"
-            and os.environ.get("PRIMIA_PALLAS_WGRAD", "1") != "0")
+            and os.environ.get("PRIMIA_PALLAS_WGRAD", "0") == "1")
