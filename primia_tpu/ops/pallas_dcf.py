@@ -89,6 +89,21 @@ def _expand(s0, s1, s2, s3):
     return sL, tL, (w[8], w[9]), sR, tR, (w[10], w[11])
 
 
+def _expand_sel(s0, s1, s2, s3, xb):
+    """Selected-child G(s): ONLY the xb-side seed and payload blocks.
+
+    The eval walk never touches the off-path child, and the block
+    counters are data (``s2 ^ c``), so the selection moves INTO the
+    counter: 3 Threefry blocks instead of 6. Word-for-word equal to
+    the xb-side half of ``_expand``."""
+    one = jnp.uint32(1)
+    c0 = xb + xb  # 0 -> blocks 0,1,4 (left); 1 -> blocks 2,3,5 (right)
+    a0, a1 = threefry2x32(s0, s1, s2 ^ c0, s3)
+    a2, a3 = threefry2x32(s0, s1, s2 ^ (c0 | one), s3)
+    p0, p1 = threefry2x32(s0, s1, s2 ^ (jnp.uint32(4) | xb), s3)
+    return (a0 & ~one, a1, a2, a3), a0 & one, (p0, p1)
+
+
 def _xor_masked(words, cw, t):
     """words ^= cw where t==1 (t is a 0/1 u32 plane)."""
     mask = jnp.uint32(0) - t
@@ -107,21 +122,29 @@ def _sign_kernel(seeds_ref, alpha_ref, c_ref, x_ref, out_ref, *, n_bits):
 
     beta = _csel64(csel, (ones, zero), (~zero, ~zero))  # +1 or -1
 
-    # keygen state (party seeds g, control bits t, v_alpha accumulator)
+    # keygen state (party seeds g, control bits t, v_alpha accumulator).
+    # Eval state rides the gen state on the common alpha/x prefix
+    # (e_b == g_b level-for-level there — identical update rules), and
+    # after the paths diverge BOTH parties' eval states are provably
+    # equal (the lose-side correction s_cw = s_lose0 ^ s_lose1 maps
+    # whichever party applies it onto the other's raw child, and
+    # t0 ^ t1 == 1 on-path), so ONE merged walk (em, tem) serves both.
+    # Net: 12 + 3 Threefry blocks per level instead of the naive 24 —
+    # bit-identical output, pure redundancy elimination.
     g0 = tuple(seeds_ref[i] for i in range(4))
     g1 = tuple(seeds_ref[4 + i] for i in range(4))
-    # eval state per party: seed e, control bit te, output accumulator v
     state = (
-        g0, g1, zero, ones, (zero, zero),        # gen: g0 g1 t0 t1 v_alpha
-        g0, zero, (zero, zero),                  # eval p0: e0 te0 v0
-        g1, ones, (zero, zero),                  # eval p1: e1 te1 v1
+        g0, g1, zero, ones, (zero, zero),  # gen: g0 g1 t0 t1 v_alpha
+        zero, g0, zero,                    # div flag, merged seed em, tem
+        (zero, zero), (zero, zero),        # output accumulators v0, v1
     )
 
     def level(i, st):
-        g0, g1, t0, t1, va, e0, te0, v0, e1, te1, v1 = st
+        g0, g1, t0, t1, va, div, em, tem, v0, v1 = st
         sh = jnp.uint32(n_bits - 1) - i.astype(jnp.uint32)
         ab = (alpha >> sh) & one
         xb = (x >> sh) & one
+        t0p, t1p = t0, t1  # pre-update bits = on-prefix eval bits
 
         # ---- keygen step (mpc/dcf.py dcf_gen level, limb arithmetic)
         sL0, tL0, vL0, sR0, tR0, vR0 = _expand(*g0)
@@ -152,34 +175,50 @@ def _sign_kernel(seeds_ref, alpha_ref, c_ref, x_ref, out_ref, *, n_bits):
         t1 = _csel(ab, tL1, tR1) ^ (t1 & t_cw_keep)
 
         # ---- eval step, both parties (mpc/dcf.py dcf_eval level)
-        def estep(e, te, v, negate):
-            sL, tL, vL, sR, tR, vR = _expand(*e)
-            sL = _xor_masked(sL, s_cw, te)
-            sR = _xor_masked(sR, s_cw, te)
-            tLc = tL ^ (te & t_cw_L)
-            tRc = tR ^ (te & t_cw_R)
-            v_here = _csel64(xb, vL, vR)
-            v_here = _csel64(te, v_here, _add64(v_here, v_cw))
-            v = _sub64(v, v_here) if negate else _add64(v, v_here)
-            e = tuple(_csel(xb, l, r) for l, r in zip(sL, sR))
-            te = _csel(xb, tLc, tRc)
-            return e, te, v
+        t_cw_sel = _csel(xb, t_cw_L, t_cw_R)
 
-        e0, te0, v0 = estep(e0, te0, v0, negate=False)
-        e1, te1, v1 = estep(e1, te1, v1, negate=True)
-        return (g0, g1, t0, t1, va, e0, te0, v0, e1, te1, v1)
+        # on the common prefix: e_b == g_b, reuse gen's expands outright
+        vh0 = _csel64(xb, vL0, vR0)
+        vh0 = _csel64(t0p, vh0, _add64(vh0, v_cw))
+        vh1 = _csel64(xb, vL1, vR1)
+        vh1 = _csel64(t1p, vh1, _add64(vh1, v_cw))
+
+        # post-divergence: one selected-child expand serves both parties
+        sm, tm, vm = _expand_sel(*em, xb)
+        smc = _xor_masked(sm, s_cw, tem)
+        tmc = tm ^ (tem & t_cw_sel)
+        vhm = _csel64(tem, vm, _add64(vm, v_cw))
+
+        vh0 = _csel64(div, vh0, vhm)
+        vh1 = _csel64(div, vh1, vhm)
+        v0 = _add64(v0, vh0)
+        v1 = _sub64(v1, vh1)
+
+        # merged-state update: entering divergence it is built from the
+        # gen step's xb-side (= lose-side) children — party 0's
+        # corrected child, which equals party 1's; afterwards it walks
+        # itself. While still on the prefix the slot holds garbage that
+        # is never read (every consumer above is gated on div).
+        x_lose0 = tuple(_csel(xb, l, r) for l, r in zip(sL0, sR0))
+        x_lose1 = tuple(_csel(xb, l, r) for l, r in zip(sL1, sR1))
+        em_enter = tuple(_csel(t0p, a, b) for a, b in zip(x_lose0, x_lose1))
+        tem_enter = _csel(xb, tL0, tR0) ^ (t0p & t_cw_sel)
+        em = tuple(_csel(div, e, c) for e, c in zip(em_enter, smc))
+        tem = _csel(div, tem_enter, tmc)
+        div = div | (xb ^ ab)
+        return (g0, g1, t0, t1, va, div, em, tem, v0, v1)
 
     (g0, g1, t0, t1, va,
-     e0, te0, v0, e1, te1, v1) = jax.lax.fori_loop(0, n_bits, level, state)
+     div, em, tem, v0, v1) = jax.lax.fori_loop(0, n_bits, level, state)
 
     # last_cw = sign_1 * (convert(s1) - convert(s0) - v_alpha)
     last = _cneg64(t1, _sub64(_sub64((g1[0], g1[1]), (g0[0], g0[1])), va))
-    f0 = (e0[0], e0[1])
-    f0 = _csel64(te0, f0, _add64(f0, last))
-    v0 = _add64(v0, f0)
-    f1 = (e1[0], e1[1])
-    f1 = _csel64(te1, f1, _add64(f1, last))
-    v1 = _sub64(v1, f1)
+    # never diverged (x == alpha): final eval state is the gen state
+    fm = _csel64(tem, (em[0], em[1]), _add64((em[0], em[1]), last))
+    f0 = _csel64(t0, (g0[0], g0[1]), _add64((g0[0], g0[1]), last))
+    f1 = _csel64(t1, (g1[0], g1[1]), _add64((g1[0], g1[1]), last))
+    v0 = _add64(v0, _csel64(div, f0, fm))
+    v1 = _sub64(v1, _csel64(div, f1, fm))
 
     out_ref[0] = v0[0]
     out_ref[1] = v0[1]

@@ -36,6 +36,23 @@ from primia_tpu.train.steps import TrainState
 DEFAULT_ALPHAS = (2, 4, 8, 16, 32, 64, 100)
 
 
+def _noise_keys(k_noise, n):
+    """Per-leaf noise keys. On TPU the key is re-keyed onto the ``rbg``
+    PRNG first (hardware RngBitGenerator, same move as the augment
+    pipeline's ``_fast_prng``): the Gaussian draw covers every
+    parameter (~11.7M f32 for ResNet-18) every step, and threefry lane
+    arithmetic put ~4 ms/step of pure bit-generation on the VPU.
+    Distribution quality is unchanged (same erfinv transform over
+    uniform bits); the stream is not cryptographically stronger or
+    weaker in any sense that matters for the accountant — the
+    reference's torchdp draws from torch's default Philox stream, the
+    same posture. Off-TPU stays on threefry so CPU tests keep the
+    reference stream."""
+    from primia_tpu.ops.augment import _fast_prng
+
+    return jax.random.split(_fast_prng(k_noise), n)
+
+
 def build_dp_train_step(model_def, optimizer, args, mean, std,
                         class_weights: Optional[np.ndarray] = None,
                         microbatch: Optional[int] = None,
@@ -116,7 +133,7 @@ def build_dp_train_step(model_def, optimizer, args, mean, std,
         zero = jax.tree.map(jnp.zeros_like, ts.params)
         (summed, loss_sum), _ = jax.lax.scan(clipped_chunk, (zero, 0.0), chunks)
 
-        nkeys = jax.random.split(k_noise, len(jax.tree.leaves(summed)))
+        nkeys = _noise_keys(k_noise, len(jax.tree.leaves(summed)))
         flat, treedef = jax.tree.flatten(summed)
         noised = [
             g + sigma * jax.random.normal(k, g.shape, g.dtype)
@@ -234,33 +251,36 @@ class _GhostEngine:
 def _stem_sq_norms(x, dy):
     """Per-example squared wgrad norms of the 7x7/s2/p3 stem via the
     space-to-depth rewrite (``nn/resnet.py:_stem_s2d_conv``): on the
-    s2d grid the stem is a 4x4/s1 conv, so the patch buffer is a
-    concat of 16 UNIT-stride slices (strided (1,2,2,1) slices ran at
-    7% of the HBM roof and cost ~22 ms/step here). The s2d kernel
-    embeds the 7x7 weights injectively (8x8 zero-pad at the top-left),
-    so the true norm is the masked sum over the real positions."""
+    s2d grid the stem is a 4x4/s1 conv over 4C channels, so the norm
+    splits EXACTLY across the 16 unit-stride taps (disjoint K rows, no
+    cross terms) — one small einsum per tap, no patch buffer. (History:
+    strided (1,2,2,1) slices on the original 7x7 geometry ran at 7% of
+    the HBM roof, ~22 ms/step; a materialized 16-slice concat
+    (B,H2*W2,16*4C) ran at 22%, 10.6 ms/step + a 1.3 ms dy relayout —
+    the per-tap form reads ~1 GB total and needs neither.) The s2d
+    kernel embeds the 7x7 weights injectively (8x8 zero-pad at the
+    top-left): kernel position (2a+py, 2b+qx) is real iff both >= 1,
+    so each tap masks its (4C,) K-rows before the square-sum."""
     B, H, W, C = x.shape
     H2, W2 = H // 2, W // 2
     x2 = (x.reshape(B, H2, 2, W2, 2, C)
           .transpose(0, 1, 3, 2, 4, 5)
           .reshape(B, H2, W2, 4 * C))
     xp = jnp.pad(x2, ((0, 0), (2, 1), (2, 1), (0, 0)))
-    pat = jnp.concatenate(
-        [xp[:, a:a + H2, b:b + W2, :] for a in range(4) for b in range(4)],
-        axis=-1)                                        # (B, H2, W2, 16*4C)
-    g = jnp.einsum("bpk,bpc->bkc", pat.reshape(B, H2 * W2, -1),
-                   dy.reshape(B, H2 * W2, -1),
-                   preferred_element_type=jnp.float32)  # (B, 16*4C, co)
-    # k = (a*4 + b)*4C + (py*2 + qx)*C + c ; the 8x8 kernel position is
-    # (2a + py, 2b + qx), real iff both >= 1 (w8 = pad(w1, ((1,0),(1,0))))
-    a = np.arange(16) // 4
-    b = np.arange(16) % 4
     py = np.arange(4 * C) // (2 * C)
     qx = (np.arange(4 * C) // C) % 2
-    real = ((2 * a[:, None] + py[None, :] >= 1)
-            & (2 * b[:, None] + qx[None, :] >= 1)).reshape(-1)
-    mask = jnp.asarray(real, jnp.float32)
-    return jnp.einsum("bkc,k->b", jnp.square(g), mask)
+    total = 0.0
+    for a in range(4):
+        for b in range(4):
+            real = (2 * a + py >= 1) & (2 * b + qx >= 1)
+            if not real.any():
+                continue
+            xs = jax.lax.slice(xp, (0, a, b, 0), (B, a + H2, b + W2, 4 * C))
+            g = jnp.einsum("bhwi,bhwo->bio", xs, dy,
+                           preferred_element_type=jnp.float32)  # (B,4C,co)
+            total = total + jnp.einsum(
+                "bic,i->b", jnp.square(g), jnp.asarray(real, jnp.float32))
+    return total
 
 
 def _ghost_layer_stats(meta, captured, dtaps):
@@ -493,7 +513,7 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
         summed = jax.tree.unflatten(pc_treedef, flat)
         loss_sum = jnp.sum(lvec * mask)
 
-        nkeys = jax.random.split(k_noise, len(jax.tree.leaves(summed)))
+        nkeys = _noise_keys(k_noise, len(jax.tree.leaves(summed)))
         flat, treedef = jax.tree.flatten(summed)
         noised = [
             g.astype(jnp.float32) + sigma * jax.random.normal(k, g.shape)
