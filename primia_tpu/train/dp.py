@@ -36,21 +36,33 @@ from primia_tpu.train.steps import TrainState
 DEFAULT_ALPHAS = (2, 4, 8, 16, 32, 64, 100)
 
 
-def _noise_keys(k_noise, n):
-    """Per-leaf noise keys. On TPU the key is re-keyed onto the ``rbg``
-    PRNG first (hardware RngBitGenerator, same move as the augment
-    pipeline's ``_fast_prng``): the Gaussian draw covers every
-    parameter (~11.7M f32 for ResNet-18) every step, and threefry lane
-    arithmetic put ~4 ms/step of pure bit-generation on the VPU.
+def _gaussian_tree_noise(k_noise, leaves):
+    """One Gaussian draw covering the whole parameter tree, returned as
+    per-leaf f32 arrays. Two TPU moves vs naive per-leaf draws:
+
+    - the key is re-keyed onto the ``rbg`` PRNG (hardware
+      RngBitGenerator, same move as the augment pipeline's
+      ``_fast_prng``) — threefry lane arithmetic put ~4 ms/step of
+      pure bit generation on the VPU for ResNet-18's ~11.7M params;
+    - ONE flat draw instead of a draw per leaf — per-leaf draws left
+      ~3 ms/step of small bits+erfinv fusions on the ghost-step trace;
+      the flat draw is one full-width op, and the per-leaf slices fuse
+      into the consuming adds.
+
     Distribution quality is unchanged (same erfinv transform over
-    uniform bits); the stream is not cryptographically stronger or
-    weaker in any sense that matters for the accountant — the
-    reference's torchdp draws from torch's default Philox stream, the
-    same posture. Off-TPU stays on threefry so CPU tests keep the
-    reference stream."""
+    uniform bits; the accountant only cares about the marginal being
+    N(0,1)); the reference's torchdp draws from torch's default Philox
+    stream, the same posture. Off-TPU the key stays on threefry so CPU
+    tests keep the reference stream."""
     from primia_tpu.ops.augment import _fast_prng
 
-    return jax.random.split(_fast_prng(k_noise), n)
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    z = jax.random.normal(_fast_prng(k_noise), (sum(sizes),), jnp.float32)
+    out, off = [], 0
+    for leaf, n in zip(leaves, sizes):
+        out.append(jax.lax.slice(z, (off,), (off + n,)).reshape(leaf.shape))
+        off += n
+    return out
 
 
 def build_dp_train_step(model_def, optimizer, args, mean, std,
@@ -133,11 +145,10 @@ def build_dp_train_step(model_def, optimizer, args, mean, std,
         zero = jax.tree.map(jnp.zeros_like, ts.params)
         (summed, loss_sum), _ = jax.lax.scan(clipped_chunk, (zero, 0.0), chunks)
 
-        nkeys = _noise_keys(k_noise, len(jax.tree.leaves(summed)))
         flat, treedef = jax.tree.flatten(summed)
+        zs = _gaussian_tree_noise(k_noise, flat)
         noised = [
-            g + sigma * jax.random.normal(k, g.shape, g.dtype)
-            for g, k in zip(flat, nkeys)
+            g + (sigma * z).astype(g.dtype) for g, z in zip(flat, zs)
         ]
         denom = jnp.maximum(jnp.sum(mask), 1.0)
         grads = jax.tree.unflatten(treedef, [g / denom for g in noised])
@@ -270,17 +281,20 @@ def _stem_sq_norms(x, dy):
     py = np.arange(4 * C) // (2 * C)
     qx = (np.arange(4 * C) // C) % 2
     total = 0.0
+    gs = []
     for a in range(4):
         for b in range(4):
             real = (2 * a + py >= 1) & (2 * b + qx >= 1)
-            if not real.any():
-                continue
             xs = jax.lax.slice(xp, (0, a, b, 0), (B, a + H2, b + W2, 4 * C))
             g = jnp.einsum("bhwi,bhwo->bio", xs, dy,
                            preferred_element_type=jnp.float32)  # (B,4C,co)
+            gs.append(g)
             total = total + jnp.einsum(
                 "bic,i->b", jnp.square(g), jnp.asarray(real, jnp.float32))
-    return total
+    # the per-example G stack doubles as the weighted-grad source
+    # (sweep 2 contracts it with the clip factors instead of running a
+    # second weight-grad conv) — see _ghost_weighted_grads
+    return total, jnp.stack(gs, axis=1)  # (B, 16, 4C, co)
 
 
 def _ghost_layer_stats(meta, captured, dtaps):
@@ -313,7 +327,8 @@ def _ghost_layer_stats(meta, captured, dtaps):
                 total = total + jnp.einsum("bts,bts->b", sx, sd)
             elif (kh, kw, s, p) == (7, 7, 2, 3) \
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-                total = total + _stem_sq_norms(x, dy)
+                sq7, st["G7"] = _stem_sq_norms(x, dy)
+                total = total + sq7
             else:
                 # per-tap shifted batched matmuls: G's K axis indexes
                 # (tap, cin), so the squared norm splits EXACTLY across
@@ -322,8 +337,12 @@ def _ghost_layer_stats(meta, captured, dtaps):
                 # buffer. (A grouped-conv per-example wgrad was tried
                 # and lowered to 2%-of-roof reduce loops; the T^2 form
                 # below it materialized 492 MB grams at layer2 — both
-                # measured slower.)
+                # measured slower.) The stacked per-example G is KEPT
+                # (~550 MB across ResNet-18's per-tap layers): sweep 2
+                # contracts it with the clip factors, which replaces
+                # those layers' second weight-grad conv outright.
                 xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+                gs = []
                 for di in range(kh):
                     for dj in range(kw):
                         xs = jax.lax.slice(
@@ -331,9 +350,11 @@ def _ghost_layer_stats(meta, captured, dtaps):
                             (B, di + (Ho - 1) * s + 1,
                              dj + (Wo - 1) * s + 1, cin),
                             (1, s, s, 1))
-                        g = jnp.einsum("bhwi,bhwo->bio", xs, dy,
-                                       preferred_element_type=f32)
-                        total = total + jnp.sum(jnp.square(g), axis=(1, 2))
+                        gs.append(jnp.einsum("bhwi,bhwo->bio", xs, dy,
+                                             preferred_element_type=f32))
+                G = jnp.stack(gs, axis=1)  # (B, kh*kw, cin, cout)
+                total = total + jnp.sum(jnp.square(G), axis=(1, 2, 3))
+                st["G"] = G
         elif kind == "bias":
             df = dy.astype(f32)
             gb = jnp.sum(df, axis=tuple(range(1, dy.ndim - 1))) \
@@ -381,19 +402,27 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
             (x,) = cap
             kh, kw = m["wshape"][:2]
             s, p = m["stride"], m["padding"]
+            if "G" in st:
+                # per-tap layers: sweep 1 already materialized the
+                # per-example weight gradient G (B, kh*kw, cin, cout) —
+                # the clipped sum is one contraction, no second conv
+                gw = jnp.einsum("b,btic->tic", factor, st["G"])
+                out.append((gw.reshape(m["wshape"]),))
+                continue
+            if "G7" in st:
+                # stem: reassemble the 16 s2d tap-G blocks onto the 8x8
+                # embedded kernel grid (position (2a+py, 2b+qx)) and
+                # crop the zero-pad row/col to the true 7x7 grad
+                C, co = m["wshape"][2], m["wshape"][3]
+                ws = jnp.einsum("b,btic->tic", factor, st["G7"])
+                ws = (ws.reshape(4, 4, 2, 2, C, co)
+                      .transpose(0, 2, 1, 3, 4, 5).reshape(8, 8, C, co))
+                out.append((ws[1:, 1:],))
+                continue
             dyc = (dy.astype(f32)
                    * factor[(...,) + (None,) * (dy.ndim - 1)]).astype(dy.dtype)
-            if s == 2 and kh == 7 and kw == 7 and p == 3 \
-                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-                # the 7x7/s2 stem: the space-to-depth rewrite makes the
-                # weight-grad conv unit-stride (see nn/resnet.py) —
-                # XLA's strided wgrad for this layer runs at ~28% of
-                # the HBM roof (1.7 ms/step measured)
-                from primia_tpu.nn.resnet import _stem_s2d_conv
-
-                conv_fn = lambda w_: _stem_s2d_conv(x, w_)
-            elif ((kh, kw, s, p) == (3, 3, 1, 1) and x.dtype == jnp.bfloat16
-                  and x.shape[-1] >= 128 and m["wshape"][-1] >= 128):
+            if ((kh, kw, s, p) == (3, 3, 1, 1) and x.dtype == jnp.bfloat16
+                    and x.shape[-1] >= 128 and m["wshape"][-1] >= 128):
                 from primia_tpu.ops.pallas_wgrad import (
                     conv3x3_wgrad_pallas, use_pallas_wgrad)
 
@@ -402,9 +431,7 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
                     # no data-grad conv to rely on DCE to remove
                     out.append((conv3x3_wgrad_pallas(x, dyc).astype(x.dtype),))
                     continue
-                conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
-            else:
-                conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
+            conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
             _, vjp_w = jax.vjp(conv_fn, jnp.zeros(m["wshape"], x.dtype))
             (gw,) = vjp_w(dyc)
             out.append((gw,))
@@ -443,9 +470,11 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
        gradients are assembled analytically from the captured
        (input, cotangent) pairs (``_ghost_weighted_grads``), exactly.
 
-    Total cost ~ one forward + one input-grad backward + one
-    weight-grad sweep + the norm einsums: ~2x the non-private step,
-    vs ~3.5x for the microbatched per-example path. Class-weight
+    Total cost ~ one forward + one input-grad backward + the norm
+    einsums + a weight-grad sweep for the layers whose norms came from
+    grams (the per-tap layers reuse their norm-sweep G matrices, so
+    their weighted grad is a single contraction). Measured anchors:
+    BASELINE.md anchor 4. Class-weight
     note: per-example hard-label CE normalizes each example's weight
     away (w_y*ce/w_y), matching the microbatched path's semantics
     exactly.
@@ -513,11 +542,10 @@ def build_ghost_dp_train_step(model_def, optimizer, args, mean, std,
         summed = jax.tree.unflatten(pc_treedef, flat)
         loss_sum = jnp.sum(lvec * mask)
 
-        nkeys = _noise_keys(k_noise, len(jax.tree.leaves(summed)))
         flat, treedef = jax.tree.flatten(summed)
+        zs = _gaussian_tree_noise(k_noise, flat)
         noised = [
-            g.astype(jnp.float32) + sigma * jax.random.normal(k, g.shape)
-            for g, k in zip(flat, nkeys)
+            g.astype(jnp.float32) + sigma * z for g, z in zip(flat, zs)
         ]
         denom = jnp.maximum(jnp.sum(mask), 1.0)
         grads = jax.tree.unflatten(treedef, [g / denom for g in noised])

@@ -29,7 +29,8 @@ from primia_tpu.mpc.inference import build_encrypted_predict
 from primia_tpu.nn import create_model
 
 
-def run_case(name, model, res, batch, tile, channels=1, reps=3):
+def run_case(name, model, res, batch, tile, channels=1, reps=3,
+             protocol="snn"):
     args = Arguments(model=model, train_resolution=res,
                      inference_resolution=res, pooling_type="max")
     md = create_model(args, num_classes=3)
@@ -40,7 +41,7 @@ def run_case(name, model, res, batch, tile, channels=1, reps=3):
     std = np.full(channels, 0.25)
 
     enc = build_encrypted_predict(md, args, mean, std, seed=1,
-                                  batch_tile=tile)
+                                  batch_tile=tile, protocol=protocol)
     t0 = time.time()
     out = jax.block_until_ready(enc(params, state, imgs))
     compile_s = time.time() - t0
@@ -59,5 +60,11 @@ def run_case(name, model, res, batch, tile, channels=1, reps=3):
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    run_case("resnet18@224 snn", "resnet-18", 224, 32, 8)
-    run_case("simpleconv@512 snn", "simpleconv", 512, 2, 1)
+    cases = sys.argv[1:] or ["snn32", "conv512"]
+    if "snn32" in cases:
+        run_case("resnet18@224 snn", "resnet-18", 224, 32, 8)
+    if "fss32" in cases:
+        run_case("resnet18@224 fss", "resnet-18", 224, 32, 8,
+                 protocol="fss")
+    if "conv512" in cases:
+        run_case("simpleconv@512 snn", "simpleconv", 512, 2, 1)
