@@ -21,6 +21,16 @@ import time
 import numpy as np
 
 
+def _median_runs(run_once, reps=5):
+    """Median-of-reps with spread: every number this file reports is a
+    median over >=5 timed repetitions (the round-4 FedAvg anchor drifted
+    32% between drivers because one blocking tunnel fetch was timed
+    once; tools/bench_fss_sign.py's median fix is the template).
+    Returns (median, lo, hi) of run_once()'s seconds."""
+    ts = sorted(run_once() for _ in range(reps))
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
 def bench_train_throughput(batch=512, res=224, steps=12, warmup=3):
     # batch 512 measured ~3% over 256 on one v5e (8,083 vs 7,860 img/s
     # wall): the BN-stat reductions and flat-vector optimizer amortize
@@ -57,13 +67,22 @@ def bench_train_throughput(batch=512, res=224, steps=12, warmup=3):
     # train state chains through the loop, so fetching the final loss
     # forces the whole sequence.
     float(loss)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key, sk = jax.random.split(key)
-        ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
-    float(loss)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+
+    def one_window():
+        nonlocal ts, key
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(steps):
+            key, sk = jax.random.split(key)
+            ts, loss = step(ts, sk, imgs, labels, mask, 1e-4)
+        float(loss)
+        return time.perf_counter() - t0
+
+    med, lo, hi = _median_runs(one_window, reps=5)
+    sys.stderr.write(
+        f"train_throughput windows (img/s): median {batch * steps / med:.0f} "
+        f"spread [{batch * steps / hi:.0f}, {batch * steps / lo:.0f}]\n")
+    return batch * steps / med
 
 
 def _torch_resnet18(num_classes=3, in_channels=1, input_size=224):
@@ -161,10 +180,14 @@ def bench_encrypted_inference(batch=8, res=28, protocol="snn"):
                                   seed=1, protocol=protocol)
     out = enc(params, state, imgs)
     float(jnp.sum(out))  # warm (compile)
-    t0 = time.perf_counter()
-    out = enc(params, state, imgs)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / batch
+
+    def one():
+        t0 = time.perf_counter()
+        float(jnp.sum(enc(params, state, imgs)))
+        return time.perf_counter() - t0
+
+    med, lo, hi = _median_runs(one, reps=5)
+    return med / batch, lo / batch, hi / batch
 
 
 def bench_secure_fedavg(nodes=3):
@@ -186,10 +209,16 @@ def bench_secure_fedavg(nodes=3):
     f = jax.jit(lambda k, t: secure_fedavg(k, t, weights))
     out = f(jax.random.PRNGKey(1), stacked)
     float(jnp.sum(jax.tree.leaves(out)[0]))  # warm
-    t0 = time.perf_counter()
-    out = f(jax.random.PRNGKey(2), stacked)
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    return time.perf_counter() - t0
+    k = [2]
+
+    def one():
+        k[0] += 1
+        t0 = time.perf_counter()
+        out = f(jax.random.PRNGKey(k[0]), stacked)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+        return time.perf_counter() - t0
+
+    return _median_runs(one, reps=9)
 
 
 def main():
@@ -217,20 +246,24 @@ def main():
     if os.environ.get("PRIMIA_BENCH_QUICK"):
         return
     try:
-        agg_s = bench_secure_fedavg()
+        agg_s, agg_lo, agg_hi = bench_secure_fedavg()
         sys.stderr.write(
-            f"secure_fedavg_resnet18_3nodes: {agg_s * 1e3:.1f} ms/round\n")
+            f"secure_fedavg_resnet18_3nodes: {agg_s * 1e3:.1f} ms/round "
+            f"(median of 9, spread [{agg_lo * 1e3:.1f}, {agg_hi * 1e3:.1f}])\n")
     except Exception as e:  # sub-benchmarks must never fail the headline
         sys.stderr.write(f"secure_fedavg bench failed: {e}\n")
     try:
-        enc_s = bench_encrypted_inference()
+        enc_s, enc_lo, enc_hi = bench_encrypted_inference()
         sys.stderr.write(
-            f"encrypted_inference_simpleconv28_snn: {enc_s * 1e3:.1f} ms/image\n")
+            f"encrypted_inference_simpleconv28_snn: {enc_s * 1e3:.1f} ms/image "
+            f"(median of 5, spread [{enc_lo * 1e3:.1f}, {enc_hi * 1e3:.1f}])\n")
     except Exception as e:
         sys.stderr.write(f"encrypted inference bench failed: {e}\n")
     try:
-        fss_ns = bench_fss_sign()
-        sys.stderr.write(f"fss_sign_fused: {fss_ns:.1f} ns/element\n")
+        fss_ns, fss_lo, fss_hi = bench_fss_sign()
+        sys.stderr.write(
+            f"fss_sign_fused: {fss_ns:.1f} ns/element "
+            f"(median of 7, spread [{fss_lo:.1f}, {fss_hi:.1f}])\n")
     except Exception as e:
         sys.stderr.write(f"fss sign bench failed: {e}\n")
 
@@ -254,10 +287,16 @@ def bench_fss_sign(n=1 << 22):
     f = jax.jit(lambda k, d: sign_shares(k, AShare(d)).data)
     out = f(jax.random.PRNGKey(2), xs.data)
     float(jnp.sum(out))
-    t0 = time.perf_counter()
-    out = f(jax.random.PRNGKey(3), xs.data)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / n * 1e9
+    k = [2]
+
+    def one():
+        k[0] += 1
+        t0 = time.perf_counter()
+        float(jnp.sum(f(jax.random.PRNGKey(k[0]), xs.data)))
+        return time.perf_counter() - t0
+
+    med, lo, hi = _median_runs(one, reps=7)
+    return med / n * 1e9, lo / n * 1e9, hi / n * 1e9
 
 
 if __name__ == "__main__":

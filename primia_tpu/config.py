@@ -61,6 +61,14 @@ class Arguments:
     momentum: float = 0.0
     model: str = "resnet-18"
     pooling_type: str = "max"
+    # "batch" (reference) or "group": GroupNorm is the DP-compatible
+    # normalization — DP-SGD must freeze BatchNorm at its running stats
+    # (cross-example coupling breaks per-sample gradients; opacus
+    # rejects BN outright), which for a from-scratch model means NO
+    # effective normalization and training collapses. TPU-build
+    # extension; the reference has no DP-trainable model at all
+    # (torchdp rejects its BN ResNet, train.py:308).
+    normalization: str = "batch"
     pretrained: bool = False
     weight_decay: float = 0.0
     weight_classes: bool = False
@@ -145,6 +153,11 @@ class Arguments:
             raise ValueError(
                 f"Unknown pooling {self.pooling_type!r}; choose from {VALID_POOLING}"
             )
+        if self.normalization not in ("batch", "group"):
+            raise ValueError(
+                f"Unknown normalization {self.normalization!r}; "
+                "choose from ('batch', 'group')"
+            )
         if self.mode not in ("train", "inference"):
             raise ValueError("mode must be 'train' or 'inference'")
 
@@ -197,6 +210,7 @@ class Arguments:
             kw["momentum"] = g.float("config", "momentum", fallback=0.0)
         kw["model"] = g.str("config", "model", fallback="resnet-18")
         kw["pooling_type"] = g.str("config", "pooling_type", fallback="max")
+        kw["normalization"] = g.str("config", "normalization", fallback="batch")
         kw["pretrained"] = g.bool("config", "pretrained", fallback=False)
         kw["weight_decay"] = g.float("config", "weight_decay", fallback=0.0)
         kw["weight_classes"] = g.bool("config", "weight_classes", fallback=False)
@@ -254,6 +268,12 @@ class Arguments:
             )
 
         kw["num_threads"] = g.int("system", "num_threads", fallback=0)
+
+        # [dp] — optional; the reference hardcodes these (train.py:326-334),
+        # so absent keys reproduce its exact values
+        kw["noise_multiplier"] = g.float("dp", "noise_multiplier", fallback=1.3)
+        kw["max_grad_norm"] = g.float("dp", "max_grad_norm", fallback=1.0)
+        kw["target_delta"] = g.float("dp", "target_delta", fallback=1e-5)
 
         # CLI-only flags
         if cmd_args is not None:

@@ -33,12 +33,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from primia_tpu.mpc import shares as S
 from primia_tpu.mpc.dcf import DcfKeys, dcf_eval, dcf_gen
 from primia_tpu.mpc.shares import AShare
 
-_LOW31 = jnp.uint32((1 << 31) - 1)
+# plain int, NOT jnp.uint32(...): a module-level device constant would
+# initialize the XLA backend at import time, which breaks callers that
+# must run jax.distributed.initialize() first (parallel/multihost.py).
+# The & sites cast per numpy promotion against the uint32 operands.
+_LOW31 = np.uint32((1 << 31) - 1)
 _N_BITS = 31
 
 

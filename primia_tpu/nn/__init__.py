@@ -52,11 +52,17 @@ def create_model(args, num_classes: int = None, dtype=jnp.float32) -> ModelDef:
         # fall back to He init.
         from primia_tpu.nn.torch_import import try_load_pretrained  # lazy
 
+    # getattr: checkpoints from before the field existed unpickle an
+    # Arguments without it
+    norm = getattr(args, "normalization", "batch")
+    if norm != "batch" and args.model != "resnet-18":
+        raise ValueError("normalization=group is only wired for resnet-18")
+
     if args.model == "resnet-18":
         init = partial(
             resnet18_init, num_classes=num_classes, in_channels=in_channels, dtype=dtype
         )
-        fwd = partial(resnet18_forward, pooling=pooling, input_size=res)
+        fwd = partial(resnet18_forward, pooling=pooling, input_size=res, norm=norm)
         md = ModelDef("resnet-18", init, fwd, res, in_channels, num_classes, pooling)
     elif args.model == "vgg16":
         init = partial(

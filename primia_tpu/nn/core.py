@@ -282,6 +282,43 @@ def batch_norm(
     return y, state
 
 
+def group_norm(E, x, params: Params, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm (Wu & He 2018), torch ``nn.GroupNorm`` semantics:
+    per-example statistics over (H, W, C/G) within each of ``groups``
+    channel groups, then the trainable channelwise affine.
+
+    This is the DP-compatible normalization: statistics never couple
+    examples, so per-sample gradients stay exact and nothing is frozen
+    (DP-SGD must freeze BatchNorm's running stats, which for a
+    from-scratch model means no normalization at all — measured: the
+    canonical DP run collapses to one class). The reference cannot
+    DP-train any of its models (torchdp rejects BN, ``train.py:308``).
+
+    The trainable affine is emitted through ``E.affine(x_hat, gamma,
+    beta)`` so the ghost-DP engine's existing affine record yields the
+    exact per-example (gamma, beta) gradient norms and weighted grads;
+    the normalization itself is plain per-example jnp math on the tap
+    cotangent chain. Share-space engines are rejected: GN's statistics
+    depend on the private input, so its rsqrt cannot be folded offline
+    the way inference BN is (``bn_fold``).
+    """
+    ename = getattr(E, "name", "")
+    if ename not in ("plain", "ghost"):
+        raise NotImplementedError(
+            "GroupNorm under share-space engines is not supported: its "
+            "statistics are input-dependent and cannot be folded offline "
+            "(train with normalization=batch for encrypted serving)")
+    B, C = x.shape[0], x.shape[-1]
+    G = min(groups, C)
+    assert C % G == 0, f"channels {C} not divisible by groups {G}"
+    xf = x.astype(jnp.float32).reshape(B, -1, G, C // G)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    msq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    xhat = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    return E.affine(xhat.astype(x.dtype), params["gamma"], params["beta"])
+
+
 # ======================================================================
 # Initializers (torch-equivalent)
 # ======================================================================

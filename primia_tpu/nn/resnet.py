@@ -22,7 +22,17 @@ import jax
 import jax.numpy as jnp
 
 from primia_tpu.nn import core
-from primia_tpu.nn.core import PLAIN, batch_norm, bn_init, kaiming_normal_conv, torch_linear_init
+from primia_tpu.nn.core import (PLAIN, batch_norm, bn_init, group_norm,
+                                kaiming_normal_conv, torch_linear_init)
+
+
+def _norm(E, x, p, s, train, norm):
+    """batch (reference) or group (the DP-compatible variant; same
+    {gamma, beta} params + untouched BN-shaped state, so checkpoints,
+    secure aggregation and the serve surface are layout-identical)."""
+    if norm == "group":
+        return group_norm(E, x, p), s
+    return batch_norm(E, x, p, s, train)
 
 
 def _conv(key, kh, kw, cin, cout, dtype):
@@ -73,17 +83,17 @@ def resnet_init(
     return params, state
 
 
-def _basic_block_forward(p, s, x, *, E, train, stride):
+def _basic_block_forward(p, s, x, *, E, train, stride, norm="batch"):
     identity = x
     out = E.conv2d(x, p["conv1"]["w"], stride=stride, padding=1)
-    out, s1 = batch_norm(E, out, p["bn1"], s.get("bn1"), train)
+    out, s1 = _norm(E, out, p["bn1"], s.get("bn1"), train, norm)
     out = E.relu(out)
     out = E.conv2d(out, p["conv2"]["w"], stride=1, padding=1)
-    out, s2 = batch_norm(E, out, p["bn2"], s.get("bn2"), train)
+    out, s2 = _norm(E, out, p["bn2"], s.get("bn2"), train, norm)
     new_s = {"bn1": s1, "bn2": s2}
     if "down_conv" in p:
         identity = E.conv2d(x, p["down_conv"]["w"], stride=stride, padding=0)
-        identity, sd = batch_norm(E, identity, p["down_bn"], s.get("down_bn"), train)
+        identity, sd = _norm(E, identity, p["down_bn"], s.get("down_bn"), train, norm)
         new_s["down_bn"] = sd
     out = E.add(out, identity)
     out = E.relu(out)
@@ -124,6 +134,7 @@ def resnet_forward(
     input_size: int = 224,
     swap_pool_relu: bool = False,
     stem_s2d: bool = False,
+    norm: str = "batch",
     rng=None,
 ):
     """Returns (logits, new_state). x is NHWC.
@@ -143,7 +154,8 @@ def resnet_forward(
         out = _stem_s2d_conv(x, w1)
     else:
         out = E.conv2d(x, w1, stride=2, padding=3)
-    out, new_state["bn1"] = batch_norm(E, out, params["bn1"], state.get("bn1"), train)
+    out, new_state["bn1"] = _norm(E, out, params["bn1"], state.get("bn1"),
+                                  train, norm)
 
     def stem_pool(t):
         if pooling == "max":
@@ -172,6 +184,7 @@ def resnet_forward(
                 E=E,
                 train=train,
                 stride=stride,
+                norm=norm,
             )
             lstate.append(ns)
         new_state[lname] = lstate

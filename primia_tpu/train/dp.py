@@ -53,11 +53,30 @@ def _gaussian_tree_noise(k_noise, leaves):
     uniform bits; the accountant only cares about the marginal being
     N(0,1)); the reference's torchdp draws from torch's default Philox
     stream, the same posture. Off-TPU the key stays on threefry so CPU
-    tests keep the reference stream."""
-    from primia_tpu.ops.augment import _fast_prng
+    tests keep the reference stream. Because the noise stream IS the
+    privacy mechanism, the rbg key is built from two independent
+    threefry splits of ``k_noise`` (full 128-bit keyspace — tiling one
+    64-bit key into both halves would narrow it), and
+    ``PRIMIA_DP_SECURE_NOISE=1`` keeps the draw on threefry entirely
+    for users who want the stronger generator (opacus ships a
+    secure-RNG mode for the same reason)."""
+    import os
 
     sizes = [int(np.prod(l.shape)) for l in leaves]
-    z = jax.random.normal(_fast_prng(k_noise), (sum(sizes),), jnp.float32)
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("PRIMIA_DP_SECURE_NOISE") == "1"):
+        k = k_noise
+    else:
+        ka, kb = jax.random.split(k_noise)
+
+        def _words(kk):
+            d = (kk if jnp.issubdtype(kk.dtype, jnp.uint32)
+                 else jax.random.key_data(kk))
+            return d.reshape(-1)[:2].astype(jnp.uint32)
+
+        k = jax.random.wrap_key_data(
+            jnp.concatenate([_words(ka), _words(kb)]), impl="rbg")
+    z = jax.random.normal(k, (sum(sizes),), jnp.float32)
     out, off = [], 0
     for leaf, n in zip(leaves, sizes):
         out.append(jax.lax.slice(z, (off,), (off + n,)).reshape(leaf.shape))

@@ -243,6 +243,44 @@ class TestGhostDpStep:
                 np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
                 rtol=2e-2, atol=2e-4)
 
+    def test_resnet_groupnorm_ghost_matches_manual(self):
+        """normalization=group (the DP-trainable variant — frozen-at-init
+        BN collapses from-scratch DP training, measured round 5): the
+        GN affine rides the engine's plain-affine record, so the ghost
+        update must match the exact per-example formulation."""
+        from primia_tpu.train.dp import build_ghost_dp_train_step
+
+        args = Arguments(model="resnet-18", train_resolution=32,
+                         inference_resolution=32, batch_size=4,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=0.05,
+                         normalization="group")
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(8)
+        imgs = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, 4, dtype=np.int32))
+        mask = jnp.ones(4, jnp.float32)
+
+        step = build_ghost_dp_train_step(md, opt, args, np.array([0.5]),
+                                         np.array([0.25]), donate=False)
+        lr = 0.1
+        ts2, _ = step(ts, jax.random.PRNGKey(1), imgs, labels, mask, lr)
+
+        from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+        x = build_augment_fn(AugmentConfig.from_args(args),
+                             np.array([0.5]), np.array([0.25]), 1)(
+            jax.random.split(jax.random.PRNGKey(1))[0], imgs)
+        want = _manual_dp_grads(md, args, ts, x, labels, clip=0.05)
+        for p0, p1, g in zip(jax.tree.leaves(ts.params),
+                             jax.tree.leaves(ts2.params),
+                             jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
+                rtol=2e-2, atol=2e-4)
+
     def test_stem_norm_path_matches_microbatch(self):
         """At >=46 px even inputs the 7x7/s2/p3 stem's output T exceeds
         256, so the per-example norm takes the ``_stem_sq_norms``

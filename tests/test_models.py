@@ -93,6 +93,32 @@ def test_bn_train_matches_torch():
     )
 
 
+def test_group_norm_matches_torch():
+    """normalization=group (DP-trainable variant) vs torch.nn.GroupNorm:
+    per-example group statistics + trainable channelwise affine."""
+    import torch
+
+    from primia_tpu.nn.core import group_norm
+
+    c, g = 64, 32
+    p, _ = bn_init(c)
+    p = dict(p, gamma=jnp.asarray(
+        np.random.default_rng(1).normal(1.0, 0.1, c).astype(np.float32)),
+        beta=jnp.asarray(
+        np.random.default_rng(2).normal(0.0, 0.1, c).astype(np.float32)))
+    x = np.random.default_rng(0).normal(size=(4, 6, 6, c)).astype(np.float32)
+    y = group_norm(PLAIN, jnp.asarray(x), p, groups=g)
+
+    tgn = torch.nn.GroupNorm(g, c)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.from_numpy(np.asarray(p["gamma"])))
+        tgn.bias.copy_(torch.from_numpy(np.asarray(p["beta"])))
+    ty = tgn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(y), ty.detach().numpy().transpose(0, 2, 3, 1), atol=1e-5
+    )
+
+
 def _torch_resnet18(pooling="max", input_size=32, num_classes=3, in_channels=1):
     """Reference topology (torchlib/models.py:345-516) in plain torch.nn."""
     import torch.nn as nn

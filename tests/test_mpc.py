@@ -298,11 +298,13 @@ def test_encrypted_inference_matches_plaintext(protocol):
     assert got.argmax(1).tolist() == want.argmax(1).tolist()
 
 
-def test_encrypted_inference_batch_tile_matches_plaintext():
+@pytest.mark.parametrize("protocol", ["snn", "fss"])
+def test_encrypted_inference_batch_tile_matches_plaintext(protocol):
     """``batch_tile`` runs the share-space forward under an on-device
     loop so program size is constant in the batch; the tiled form must
     still match plaintext (fresh dealer stream per tile, padded tail
-    sliced off). Odd batch 5 with tile 2 exercises the padding path."""
+    sliced off). Odd batch 5 with tile 2 exercises the padding path.
+    Both protocols: the production tiled path defaults to fss."""
     from primia_tpu.config import Arguments
     from primia_tpu.mpc.inference import build_encrypted_predict
     from primia_tpu.nn import create_model
@@ -320,7 +322,8 @@ def test_encrypted_inference_batch_tile_matches_plaintext():
     plain = build_predict_step(md, args, mean, std)
     want = np.asarray(plain(params, state, imgs))
 
-    enc = build_encrypted_predict(md, args, mean, std, seed=1, batch_tile=2)
+    enc = build_encrypted_predict(md, args, mean, std, seed=1, batch_tile=2,
+                                  protocol=protocol)
     got = np.asarray(enc(params, state, imgs))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=0.02, rtol=0)

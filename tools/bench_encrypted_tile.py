@@ -60,7 +60,11 @@ def run_case(name, model, res, batch, tile, channels=1, reps=3,
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
+    KNOWN = ("snn32", "fss32", "conv512")
     cases = sys.argv[1:] or ["snn32", "conv512"]
+    bad = [c for c in cases if c not in KNOWN]
+    if bad:
+        sys.exit(f"unknown case(s) {bad}; valid: {list(KNOWN)}")
     if "snn32" in cases:
         run_case("resnet18@224 snn", "resnet-18", 224, 32, 8)
     if "fss32" in cases:
