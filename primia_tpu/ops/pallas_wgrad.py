@@ -119,6 +119,67 @@ def conv3x3_wgrad_pallas(x: jnp.ndarray, g: jnp.ndarray, *, interpret: bool = Fa
     return dw2.reshape(3, ci, 3, co).transpose(0, 2, 1, 3)
 
 
+def _wgrad_kernel_v2(x_ref, g_ref, out_ref, *, n, H, W, ci, co):
+    """v2 schedule: halo shifts built IN VMEM by zero-fill concatenates
+    instead of reading pre-padded HBM copies — v1 materialized padded
+    x and g in HBM (an extra full write+read of each operand, exactly
+    the traffic the kernel exists to avoid). Same single
+    (nHW, 3ci)^T @ (nHW, 3co) nine-tap contraction."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[:]  # (n, H, W, ci) bf16, unpadded
+    g = g_ref[:]  # (n, H, W, co) bf16, unpadded
+    zx = jnp.zeros((n, 1, W, ci), x.dtype)
+    zg = jnp.zeros((n, H, 1, co), g.dtype)
+    # tap kh reads x[h + kh - 1] (zero outside); tap kw reads g[w + 1 - kw]
+    xs = (jnp.concatenate([zx, x[:, :-1]], 1), x,
+          jnp.concatenate([x[:, 1:], zx], 1))
+    gs = (jnp.concatenate([g[:, :, 1:], zg], 2), g,
+          jnp.concatenate([zg, g[:, :, :-1]], 2))
+    X3 = jnp.concatenate([t.reshape(n * H * W, ci) for t in xs], axis=1)
+    G3 = jnp.concatenate([t.reshape(n * H * W, co) for t in gs], axis=1)
+    out_ref[:] += jax.lax.dot_general(
+        X3, G3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def conv3x3_wgrad_pallas_v2(x: jnp.ndarray, g: jnp.ndarray, *,
+                            interpret: bool = False) -> jnp.ndarray:
+    """v2 of :func:`conv3x3_wgrad_pallas`: no HBM halo pads (shifts in
+    VMEM), natural (n,H,W,C) blocks. Same contract: (3,3,ci,co) f32."""
+    B, H, W, ci = x.shape
+    co = g.shape[-1]
+    C = max(ci, co)
+    # VMEM per image: x+g double-buffered + shifted copies + X3/G3
+    acc = 9 * ci * co * 4
+    per_img = 2 * 2 * H * W * (ci + co) * 2 + 2 * H * W * 3 * (ci + co) * 2
+    budget = 13 * 1024 * 1024 - acc
+    n = max(1, budget // max(per_img, 1))
+    n = int(min(n, B))
+    while B % n:
+        n -= 1
+
+    kernel = functools.partial(_wgrad_kernel_v2, n=n, H=H, W=W, ci=ci, co=co)
+    dw2 = pl.pallas_call(
+        kernel,
+        grid=(B // n,),
+        in_specs=[
+            pl.BlockSpec((n, H, W, ci), lambda b: (b, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, H, W, co), lambda b: (b, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * ci, 3 * co), lambda b: (_I0, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * ci, 3 * co), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), g.astype(jnp.bfloat16))
+    return dw2.reshape(3, ci, 3, co).transpose(0, 2, 1, 3)
+
+
 def _conv_s1p1(x, w):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -145,7 +206,15 @@ def _bwd(res, g):
     # kernel — exact for stride 1 SAME
     w_rot = jnp.flip(w, (0, 1)).swapaxes(2, 3)
     dx = _conv_s1p1(g, w_rot.astype(g.dtype)).astype(x.dtype)
-    dw = conv3x3_wgrad_pallas(x, g).astype(w.dtype)
+    ci, co = x.shape[-1], g.shape[-1]
+    if max(ci, co) <= 256:
+        # v2 only where XLA's wgrad runs below roof (the early/mid HBM-
+        # bound stages); the C=512 stage is at its MXU floor under XLA
+        # and the 9C^2 f32 accumulator would leave 1-2-image chunks
+        dw = conv3x3_wgrad_pallas_v2(x, g).astype(w.dtype)
+    else:
+        _, vjp_w = jax.vjp(lambda w_: _conv_s1p1(x, w_), w)
+        (dw,) = vjp_w(g)  # XLA's own wgrad: already at its MXU floor
     return dx, dw
 
 

@@ -173,7 +173,16 @@ def module_executions(path: str, device_substr: str = "TPU"):
 
 def roofline(ops: List[OpStat], *, hbm_gbs: float = V5E_HBM_GBS,
              mxu_tflops: float = V5E_BF16_TFLOPS, top: int = 25) -> dict:
-    """Roofline summary + a printable table of the top ops."""
+    """Roofline summary + a printable table of the top ops.
+
+    Control-flow wrapper ops (``while``/``conditional``) are excluded
+    from the totals: their duration covers their body, whose ops appear
+    as separate rows on the same timeline — counting both doubles the
+    total (first seen on the tiled ``lax.map`` encrypted forward, where
+    the while row alone equalled the whole program).
+    """
+    ops = [o for o in ops
+           if not o.name.lstrip("%").startswith(("while", "conditional"))]
     total = sum(o.total_ms for o in ops)
     floor = sum(o.floor_ms(hbm_gbs, mxu_tflops) * o.count for o in ops)
     flops = sum(o.flops_est * o.count for o in ops)

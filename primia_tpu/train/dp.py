@@ -441,14 +441,18 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
             dyc = (dy.astype(f32)
                    * factor[(...,) + (None,) * (dy.ndim - 1)]).astype(dy.dtype)
             if ((kh, kw, s, p) == (3, 3, 1, 1) and x.dtype == jnp.bfloat16
-                    and x.shape[-1] >= 128 and m["wshape"][-1] >= 128):
+                    and 128 <= x.shape[-1] <= 256
+                    and 128 <= m["wshape"][-1] <= 256):
                 from primia_tpu.ops.pallas_wgrad import (
-                    conv3x3_wgrad_pallas, use_pallas_wgrad)
+                    conv3x3_wgrad_pallas_v2, use_pallas_wgrad)
 
                 if use_pallas_wgrad():
-                    # straight to the Pallas one-read wgrad kernel —
-                    # no data-grad conv to rely on DCE to remove
-                    out.append((conv3x3_wgrad_pallas(x, dyc).astype(x.dtype),))
+                    # straight to the Pallas one-read wgrad kernel (v2:
+                    # VMEM halo shifts, no HBM pads) — no data-grad
+                    # conv to rely on DCE to remove; C=512 stays on
+                    # XLA's wgrad (already at its MXU floor)
+                    out.append((conv3x3_wgrad_pallas_v2(x, dyc)
+                                .astype(x.dtype),))
                     continue
             conv_fn = lambda w_: PLAIN.conv2d(x, w_, stride=s, padding=p)
             _, vjp_w = jax.vjp(conv_fn, jnp.zeros(m["wshape"], x.dtype))
@@ -643,6 +647,8 @@ def rdp_epsilon(
     alphas: Sequence[int] = DEFAULT_ALPHAS,
 ):
     """(epsilon, best_alpha) after ``steps`` subsampled-Gaussian steps."""
+    if noise_multiplier <= 0:
+        return float("inf"), None  # no noise -> no DP guarantee
     best = (float("inf"), None)
     for a in alphas:
         if a < 2:

@@ -157,3 +157,24 @@ def test_federated_dp_end_to_end(fed_dir, tmp_path, monkeypatch, capsys):
     finals = list((tmp_path / "w").glob("final_federated_*.pt"))
     assert len(finals) == 1
     assert ckpt.load_model(finals[0])["args"].differentially_private
+
+
+def test_federated_dp_groupnorm_resnet(fed_dir, tmp_path, monkeypatch):
+    """The DP quality recipe's exact composition: resnet-18 with
+    normalization=group (the DP-trainable variant) under per-node
+    ghost-DP + secure aggregation — GN must survive the node-axis vmap
+    of the ghost step."""
+    monkeypatch.chdir(tmp_path)
+    from primia_tpu.parallel.federated import main_federated
+
+    args = Arguments(
+        model="resnet-18", train_resolution=32, inference_resolution=32,
+        batch_size=4, test_batch_size=6, epochs=1, lr=0.05, end_lr=0.05,
+        optimizer="SGD", momentum=0.0, seed=42, test_interval=1,
+        data_dir=str(fed_dir), train_federated=True, normalization="group",
+        differentially_private=True, noise_multiplier=1.3, max_grad_norm=1.0,
+        unencrypted_aggregation=False, sync_every_n_batch=2,
+        repetitions_dataset=1,
+    )
+    score = main_federated(args, verbose=False, weights_dir=str(tmp_path / "w"))
+    assert isinstance(score, float)

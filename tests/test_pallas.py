@@ -305,6 +305,19 @@ class TestWgradPallas:
             want = np.asarray(self._ref_wgrad(x, g))
             np.testing.assert_allclose(got, want, atol=1e-3 * np.abs(want).max())
 
+    def test_v2_matches_xla_wgrad(self):
+        """v2 schedule (VMEM halo shifts, no HBM pads) — same contract."""
+        from primia_tpu.ops.pallas_wgrad import conv3x3_wgrad_pallas_v2
+
+        rng = np.random.default_rng(2)
+        for (B, H, W, ci, co) in [(4, 8, 8, 8, 16), (3, 9, 11, 8, 8),
+                                  (2, 5, 7, 16, 8), (2, 14, 14, 32, 32)]:
+            x = jnp.asarray(rng.standard_normal((B, H, W, ci)), jnp.bfloat16)
+            g = jnp.asarray(rng.standard_normal((B, H, W, co)), jnp.bfloat16)
+            got = np.asarray(conv3x3_wgrad_pallas_v2(x, g, interpret=True))
+            want = np.asarray(self._ref_wgrad(x, g))
+            np.testing.assert_allclose(got, want, atol=1e-3 * np.abs(want).max())
+
     def test_custom_vjp_grads_match(self):
         """Full conv3x3_s1p1: dx and dw vs XLA's own conv grads."""
         import os
@@ -323,9 +336,9 @@ class TestWgradPallas:
         with mock.patch.dict(os.environ, {"PRIMIA_PALLAS_INTERPRET": "1"}):
             import primia_tpu.ops.pallas_wgrad as m
 
-            orig = m.conv3x3_wgrad_pallas
+            orig = m.conv3x3_wgrad_pallas_v2  # _bwd routes C<=256 to v2
             with mock.patch.object(
-                    m, "conv3x3_wgrad_pallas",
+                    m, "conv3x3_wgrad_pallas_v2",
                     lambda x_, g_: orig(x_, g_, interpret=True)):
                 gx_p, gw_p = jax.grad(
                     lambda a, b: loss(conv3x3_s1p1, a, b), (0, 1))(x, w)
