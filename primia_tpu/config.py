@@ -127,6 +127,11 @@ class Arguments:
     noise_multiplier: float = 1.3
     max_grad_norm: float = 1.0
     target_delta: float = 1e-5
+    # average per-example gradients over K independent augmentations
+    # BEFORE clipping (augmentation multiplicity, De et al. 2022):
+    # reduces per-example gradient variance at zero privacy cost
+    # because the clipped unit is still one example. K=1 disables.
+    augment_multiplicity: int = 1
 
     # --- CLI-only
     data_dir: str = "data/train"
@@ -274,6 +279,8 @@ class Arguments:
         kw["noise_multiplier"] = g.float("dp", "noise_multiplier", fallback=1.3)
         kw["max_grad_norm"] = g.float("dp", "max_grad_norm", fallback=1.0)
         kw["target_delta"] = g.float("dp", "target_delta", fallback=1e-5)
+        kw["augment_multiplicity"] = g.int("dp", "augment_multiplicity",
+                                           fallback=1)
 
         # CLI-only flags
         if cmd_args is not None:

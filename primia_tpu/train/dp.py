@@ -117,19 +117,32 @@ def build_dp_train_step(model_def, optimizer, args, mean, std,
     clip = args.max_grad_norm
     sigma = args.noise_multiplier * args.max_grad_norm
     cdtype = resolve_compute_dtype(args)
+    # augmentation multiplicity (De et al. 2022): each example's
+    # gradient is the MEAN over K independently-augmented views,
+    # computed before clipping. The clipped unit is still one example,
+    # so the accountant and sensitivity are unchanged — the per-example
+    # gradient just has ~1/K the augmentation variance.
+    K = max(int(getattr(args, "augment_multiplicity", 1)), 1)
 
     def step(ts: TrainState, key, images_u8, labels, mask, lr):
         k_aug, k_noise = jax.random.split(key)
-        x = augment(k_aug, images_u8).astype(cdtype)
+        if K == 1:
+            x = augment(k_aug, images_u8).astype(cdtype)
+        else:
+            views = jax.vmap(lambda kk: augment(kk, images_u8))(
+                jax.random.split(k_aug, K))  # (K, B, H, W, C)
+            x = jnp.moveaxis(views, 0, 1).astype(cdtype)  # (B, K, ...)
         B = x.shape[0]
         pc = tree_cast(ts.params, cdtype)
 
         def ex_loss(p, xi, yi):
-            logits, _ = model_def.forward(
-                p, ts.model_state, xi[None], train=False
-            )
+            # xi: (H,W,C) for K=1, (K,H,W,C) for multiplicity — the K
+            # views forward as one batch; mean CE => grad = mean grad
+            xb = xi[None] if K == 1 else xi
+            logits, _ = model_def.forward(p, ts.model_state, xb, train=False)
+            yb = yi[None] if K == 1 else jnp.broadcast_to(yi, (K,))
             return losses.cross_entropy(
-                logits.astype(jnp.float32), yi[None], weight=w)
+                logits.astype(jnp.float32), yb, weight=w)
 
         def clipped_chunk(carry, chunk):
             xs, ys, ms = chunk
@@ -604,6 +617,13 @@ def select_train_step(model_def, optimizer, args, mean, std,
         return build_train_step(model_def, optimizer, args, mean, std,
                                 class_weights, donate=donate,
                                 jit_compile=jit_compile)
+    if getattr(args, "augment_multiplicity", 1) > 1:
+        # multiplicity needs per-example MEAN-over-views gradients; the
+        # ghost engine's closed-form norms would need cross-view inner
+        # products, so the vmap'd microbatch path carries this mode
+        return build_dp_train_step(model_def, optimizer, args, mean, std,
+                                   class_weights, donate=donate,
+                                   jit_compile=jit_compile)
     if os.environ.get("PRIMIA_DP_GHOST", "1") != "0":
         return build_ghost_dp_train_step(model_def, optimizer, args, mean,
                                          std, class_weights, donate=donate,

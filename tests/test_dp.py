@@ -149,6 +149,62 @@ class TestDpStep:
         assert np.isfinite(float(loss))
 
 
+class TestAugmentMultiplicity:
+    def test_mean_over_views_then_clip(self):
+        """augment_multiplicity=K: each example's gradient is the mean
+        over K augmented views, THEN clipped (De et al. 2022) — must
+        match the manual formulation exactly."""
+        from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
+
+        B, K, clip = 5, 3, 0.05
+        args = Arguments(model="simpleconv", train_resolution=28,
+                         inference_resolution=28, batch_size=B,
+                         optimizer="SGD", differentially_private=True,
+                         noise_multiplier=0.0, max_grad_norm=clip,
+                         augment_multiplicity=K, rotation=15.0, scale=0.1,
+                         noise_std=0.05, noise_prob=1.0)
+        md = create_model(args, num_classes=3)
+        params, state = md.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(args)
+        ts = TrainState(params, state, opt.init(params))
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.integers(0, 255, (B, 28, 28, 1), dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 3, B, dtype=np.int32))
+        mask = jnp.ones(B, jnp.float32)
+
+        from primia_tpu.train.dp import select_train_step
+
+        mean, std = np.array([0.5]), np.array([0.25])
+        step = select_train_step(md, opt, args, mean, std, donate=False)
+        lr = 0.1
+        ts2, _ = step(ts, jax.random.PRNGKey(7), imgs, labels, mask, lr)
+
+        # manual: same augment keys -> K views; per-example mean grad
+        # over views; clip; sum; /B
+        k_aug, _ = jax.random.split(jax.random.PRNGKey(7))
+        aug = build_augment_fn(AugmentConfig.from_args(args), mean, std, 1)
+        views = jnp.stack([aug(kk, imgs) for kk in jax.random.split(k_aug, K)])
+
+        def ex_loss(p, xkv, yi):  # xkv: (K,H,W,C)
+            logits, _ = md.forward(p, ts.model_state, xkv, train=False)
+            return losses.cross_entropy(logits.astype(jnp.float32),
+                                        jnp.broadcast_to(yi, (K,)))
+
+        gs = jax.vmap(jax.grad(ex_loss), in_axes=(None, 1, 0))(
+            ts.params, views, labels)
+        sq = sum(jnp.sum(g.reshape(B, -1) ** 2, axis=1)
+                 for g in jax.tree.leaves(gs))
+        factor = jnp.minimum(1.0, clip / jnp.sqrt(sq + 1e-12))
+        want = jax.tree.map(
+            lambda g: jnp.tensordot(factor, g, axes=1) / B, gs)
+        for p0, p1, g in zip(jax.tree.leaves(ts.params),
+                             jax.tree.leaves(ts2.params),
+                             jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p0) - lr * np.asarray(g),
+                rtol=2e-2, atol=2e-4)
+
+
 class TestGhostDpStep:
     """Ghost-norm clipping (no per-example grads materialized) must be
     a drop-in for the microbatched path: same clipping math, same

@@ -60,7 +60,7 @@ def run_case(name, model, res, batch, tile, channels=1, reps=3,
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    KNOWN = ("snn32", "fss32", "conv512")
+    KNOWN = ("snn32", "fss32", "conv512", "conv512fss")
     cases = sys.argv[1:] or ["snn32", "conv512"]
     bad = [c for c in cases if c not in KNOWN]
     if bad:
@@ -72,3 +72,6 @@ if __name__ == "__main__":
                  protocol="fss")
     if "conv512" in cases:
         run_case("simpleconv@512 snn", "simpleconv", 512, 2, 1)
+    if "conv512fss" in cases:
+        run_case("simpleconv@512 fss", "simpleconv", 512, 2, 1,
+                 protocol="fss")

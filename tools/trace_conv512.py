@@ -58,16 +58,22 @@ def timed(enc, params, state, batch, reps=5):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "trace"
     if mode == "sweep":
-        for tile, batch in [(1, 2), (1, 4), (2, 2), (2, 4), (2, 8), (4, 4),
-                            (4, 8)]:
+        # fss first: the snn trace shows its 31-bit compare machinery at
+        # 10-20% of roof dominating; the fused DCF kernel rates 17.5
+        # ns/elem for the same ~2M sign evals/img
+        for proto, tile, batch in [("fss", 1, 2), ("fss", 2, 4),
+                                   ("snn", 1, 2), ("snn", 1, 4),
+                                   ("snn", 2, 4), ("snn", 2, 8),
+                                   ("fss", 1, 4), ("fss", 2, 8)]:
             try:
-                enc, params, state = build(tile, "snn")
+                enc, params, state = build(tile, proto)
                 c, med, lo, hi = timed(enc, params, state, batch)
-                print(f"tile={tile} batch={batch}: {med:.1f} ms/img "
-                      f"(spread [{lo:.1f}, {hi:.1f}], compile {c:.0f}s)")
+                print(f"{proto} tile={tile} batch={batch}: {med:.1f} ms/img "
+                      f"(spread [{lo:.1f}, {hi:.1f}], compile {c:.0f}s)",
+                      flush=True)
             except Exception as e:
-                print(f"tile={tile} batch={batch}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:120]}")
+                print(f"{proto} tile={tile} batch={batch}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
         return
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
