@@ -132,6 +132,12 @@ class Arguments:
     # reduces per-example gradient variance at zero privacy cost
     # because the clipped unit is still one example. K=1 disables.
     augment_multiplicity: int = 1
+    # exponential moving average of the parameters, evaluated/saved in
+    # place of the raw trajectory (De et al. 2022): DP noise is
+    # zero-mean, so averaging the trajectory cancels the injected
+    # random walk at no privacy cost (post-processing). 0 disables;
+    # typical 0.95-0.999.
+    parameter_ema: float = 0.0
 
     # --- CLI-only
     data_dir: str = "data/train"
@@ -281,6 +287,7 @@ class Arguments:
         kw["target_delta"] = g.float("dp", "target_delta", fallback=1e-5)
         kw["augment_multiplicity"] = g.int("dp", "augment_multiplicity",
                                            fallback=1)
+        kw["parameter_ema"] = g.float("dp", "parameter_ema", fallback=0.0)
 
         # CLI-only flags
         if cmd_args is not None:

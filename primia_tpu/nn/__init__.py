@@ -55,12 +55,17 @@ def create_model(args, num_classes: int = None, dtype=jnp.float32) -> ModelDef:
     # getattr: checkpoints from before the field existed unpickle an
     # Arguments without it
     norm = getattr(args, "normalization", "batch")
-    if norm != "batch" and args.model != "resnet-18":
-        raise ValueError("normalization=group is only wired for resnet-18")
+    if norm != "batch" and args.model not in ("resnet-18", "simpleconv"):
+        raise ValueError(
+            "normalization=group is only wired for resnet-18/simpleconv")
 
     if args.model == "resnet-18":
         init = partial(
-            resnet18_init, num_classes=num_classes, in_channels=in_channels, dtype=dtype
+            resnet18_init, num_classes=num_classes, in_channels=in_channels,
+            dtype=dtype,
+            # the GN variant exists for DP training; start it calibrated
+            # (see resnet_init docnote on the init gradient common mode)
+            zero_init_fc=(norm == "group"),
         )
         fwd = partial(resnet18_forward, pooling=pooling, input_size=res, norm=norm)
         md = ModelDef("resnet-18", init, fwd, res, in_channels, num_classes, pooling)
@@ -78,8 +83,10 @@ def create_model(args, num_classes: int = None, dtype=jnp.float32) -> ModelDef:
             num_classes=num_classes,
             in_channels=in_channels,
             dtype=dtype,
+            zero_init_fc=(norm == "group"),
         )
-        fwd = partial(simpleconv_forward, resolution=res, pooling=pooling)
+        fwd = partial(simpleconv_forward, resolution=res, pooling=pooling,
+                      norm=norm)
         md = ModelDef("simpleconv", init, fwd, res, in_channels, num_classes, pooling)
     else:
         raise ValueError(f"unknown model {args.model!r}")

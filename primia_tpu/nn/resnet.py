@@ -59,6 +59,7 @@ def resnet_init(
     num_classes: int = 3,
     in_channels: int = 3,
     dtype=jnp.float32,
+    zero_init_fc: bool = False,
 ) -> Tuple[Dict, Dict]:
     ks = jax.random.split(key, 6)
     params: Dict[str, Any] = {}
@@ -80,6 +81,14 @@ def resnet_init(
         params[f"layer{li + 1}"] = bp
         state[f"layer{li + 1}"] = bs
     params["fc"] = torch_linear_init(ks[5], 512, num_classes, dtype)
+    if zero_init_fc:
+        # zero classifier: logits start at 0 => calibrated ln(C) loss and
+        # no giant common gradient mode from init miscalibration — the
+        # standard DP-from-scratch posture (measured: per-example grad
+        # norms at init were ~36 and near-identical across examples,
+        # i.e. one shared "shrink the logits" direction)
+        params["fc"] = {"w": jnp.zeros_like(params["fc"]["w"]),
+                        "b": jnp.zeros_like(params["fc"]["b"])}
     return params, state
 
 
@@ -197,8 +206,10 @@ def resnet_forward(
     return out, new_state
 
 
-def resnet18_init(key, num_classes=3, in_channels=3, dtype=jnp.float32):
-    return resnet_init(key, [2, 2, 2, 2], num_classes, in_channels, dtype)
+def resnet18_init(key, num_classes=3, in_channels=3, dtype=jnp.float32,
+                  zero_init_fc=False):
+    return resnet_init(key, [2, 2, 2, 2], num_classes, in_channels, dtype,
+                       zero_init_fc=zero_init_fc)
 
 
 def resnet18_forward(params, state, x, **kw):

@@ -17,6 +17,7 @@ from primia_tpu.nn.core import (
     PLAIN,
     batch_norm,
     bn_init,
+    group_norm,
     kaiming_normal_conv,
     torch_linear_init,
 )
@@ -34,7 +35,8 @@ def _conv_init(key, cin, cout, dtype):
 
 
 def simpleconv_init(
-    key, resolution: int, num_classes=3, in_channels=1, dtype=jnp.float32
+    key, resolution: int, num_classes=3, in_channels=1, dtype=jnp.float32,
+    zero_init_fc: bool = False,
 ) -> Tuple[Dict, Dict]:
     if resolution not in (28, 224, 512):
         raise ValueError(f"simpleconv supports 28/224/512 px, got {resolution}")
@@ -55,6 +57,12 @@ def simpleconv_init(
         torch_linear_init(ks[7], 512, 512, dtype),
         torch_linear_init(ks[8], 512, num_classes, dtype),
     ]
+    if zero_init_fc:
+        # DP posture (see nn/resnet.py): calibrated ln(C) start, no
+        # init-miscalibration gradient common mode
+        params["classifier"][-1] = {
+            "w": jnp.zeros_like(params["classifier"][-1]["w"]),
+            "b": jnp.zeros_like(params["classifier"][-1]["b"])}
     return params, state
 
 
@@ -75,6 +83,7 @@ def simpleconv_forward(
     pooling: str = "max",
     input_size: int = None,
     swap_pool_relu: bool = False,
+    norm: str = "batch",
     rng=None,
 ):
     del input_size, swap_pool_relu, rng
@@ -104,9 +113,13 @@ def simpleconv_forward(
             x = conv(i, x)
             x = _pool(E, x, pooling)
             if i in (0, 1, 3):
-                x, s = batch_norm(
-                    E, x, params["bns"][str(i)], state.get("bns", {}).get(str(i)), train
-                )
+                if norm == "group":
+                    x = group_norm(E, x, params["bns"][str(i)])
+                    s = state.get("bns", {}).get(str(i))
+                else:
+                    x, s = batch_norm(
+                        E, x, params["bns"][str(i)], state.get("bns", {}).get(str(i)), train
+                    )
                 new_state["bns"][str(i)] = s
     else:  # 512
         x = conv(0, x)

@@ -33,7 +33,10 @@ from primia_tpu.ops.augment import AugmentConfig, build_augment_fn
 from primia_tpu.train import losses
 from primia_tpu.train.steps import TrainState
 
-DEFAULT_ALPHAS = (2, 4, 8, 16, 32, 64, 100)
+# dense integer orders: the optimum usually sits at small alpha for
+# the subsampled Gaussian, and a coarse grid (the reference passes
+# [1, 10, 100] to torchdp) overstates epsilon by 10-20%
+DEFAULT_ALPHAS = tuple(range(2, 65)) + (100, 128, 256)
 
 
 def _gaussian_tree_noise(k_noise, leaves):

@@ -164,6 +164,19 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
     train_step = select_train_step(model_def, optimizer, args, mean, std, cw)
     eval_step = build_eval_step(model_def, args, mean, std, cw)
 
+    # DP parameter averaging (post-processing, no privacy cost): eval
+    # and checkpoints use the EMA of the trajectory, cancelling the
+    # zero-mean injected noise walk (De et al. 2022)
+    ema_decay = float(getattr(args, "parameter_ema", 0.0) or 0.0)
+    use_ema = args.differentially_private and 0.0 < ema_decay < 1.0
+    ema_params = (jax.tree.map(jax.numpy.copy, ts.params)
+                  if use_ema else None)
+    ema_update = jax.jit(lambda e, p: jax.tree.map(
+        lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p))
+
+    def eval_params():
+        return ema_params if use_ema else ts.params
+
     # datasets live in HBM when they fit: batches become on-device
     # gathers instead of per-step host transfers
     train_loader = BatchLoader(
@@ -179,8 +192,8 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
         shuffle=False, pad_final=True,
     )
 
-    run_eval(eval_step, ts.params, ts.model_state, val_loader, start_at_epoch - 1,
-             class_names, verbose)
+    run_eval(eval_step, eval_params(), ts.model_state, val_loader,
+             start_at_epoch - 1, class_names, verbose)
 
     matthews_scores, model_paths = [], []
     os.makedirs(weights_dir, exist_ok=True)
@@ -204,6 +217,8 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
             for batch in device_prefetch(train_loader):
                 key, sk = jax.random.split(key)
                 ts, loss = train_step(ts, sk, batch.images, batch.labels, batch.mask, lr)
+                if use_ema:
+                    ema_params = ema_update(ema_params, ts.params)
                 avg_loss.append(loss)
             epoch_loss = float(np.mean(jax.device_get(avg_loss)))
             mon.add_scalar("train_loss", epoch, epoch_loss)
@@ -223,8 +238,8 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
 
             if (epoch % args.test_interval) == 0:
                 val_loss, matthews = run_eval(
-                    eval_step, ts.params, ts.model_state, val_loader, epoch,
-                    class_names, verbose,
+                    eval_step, eval_params(), ts.model_state, val_loader,
+                    epoch, class_names, verbose,
                 )
                 mon.add_scalar("val_loss", epoch, float(val_loss))
                 mon.add_scalar("val_mcc", epoch, float(matthews))
@@ -240,7 +255,7 @@ def main(args: Arguments, verbose: bool = True, optuna_trial=None,
 
                         raise TrialPruned()
                 submit_save(
-                    path=model_path, epoch=epoch, params=ts.params,
+                    path=model_path, epoch=epoch, params=eval_params(),
                     model_state=ts.model_state, opt_state=ts.opt_state,
                     args=args, val_mean_std=(mean, std),
                 )
