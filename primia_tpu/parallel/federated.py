@@ -409,16 +409,31 @@ def main_federated(args: Arguments, verbose: bool = True, optuna_trial=None,
 
     stacked_opt_init = jax.jit(jax.vmap(optimizer.init))
 
+    # DP parameter averaging of the AGGREGATED model (same
+    # post-processing as the local loop, train/loop.py): eval and
+    # checkpoints read the EMA across aggregation rounds
+    _ema_decay = float(getattr(args, "parameter_ema", 0.0) or 0.0)
+    _use_ema = args.differentially_private and 0.0 < _ema_decay < 1.0
+    _ema = {"p": None}
+    _ema_upd = jax.jit(lambda e, q: jax.tree.map(
+        lambda a, b: _ema_decay * a + (1.0 - _ema_decay) * b, e, q))
+
     def aggregate(st: TrainState) -> TrainState:
         agg_round[0] += 1
         agg_key = jax.random.fold_in(jax.random.fold_in(key, 777), agg_round[0])
         new_params, new_state = _agg_core(st.params, st.model_state, agg_key)
+        if _use_ema:
+            p0 = _index_tree(new_params, 0)
+            _ema["p"] = p0 if _ema["p"] is None else _ema_upd(_ema["p"], p0)
         opt = stacked_opt_init(new_params) if not args.keep_optim_dict else st.opt_state
         return TrainState(new_params, new_state, opt)
 
     def local_model(st: TrainState):
-        # after aggregate() every replica holds the aggregated model
-        return _index_tree(st.params, 0), _index_tree(st.model_state, 0)
+        # after aggregate() every replica holds the aggregated model;
+        # under DP+EMA the evaluated/saved model is the averaged one
+        p0 = (_ema["p"] if (_use_ema and _ema["p"] is not None)
+              else _index_tree(st.params, 0))
+        return p0, _index_tree(st.model_state, 0)
 
     run_eval(eval_step, *local_model(stacked), val_loader, 0, class_names, verbose)
 

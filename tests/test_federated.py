@@ -174,7 +174,7 @@ def test_federated_dp_groupnorm_resnet(fed_dir, tmp_path, monkeypatch):
         data_dir=str(fed_dir), train_federated=True, normalization="group",
         differentially_private=True, noise_multiplier=1.3, max_grad_norm=1.0,
         unencrypted_aggregation=False, sync_every_n_batch=2,
-        repetitions_dataset=1,
+        repetitions_dataset=1, parameter_ema=0.9,
     )
     score = main_federated(args, verbose=False, weights_dir=str(tmp_path / "w"))
     assert isinstance(score, float)
