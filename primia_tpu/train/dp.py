@@ -328,8 +328,12 @@ def _stem_sq_norms(x, dy):
                 "bic,i->b", jnp.square(g), jnp.asarray(real, jnp.float32))
     # the per-example G stack doubles as the weighted-grad source
     # (sweep 2 contracts it with the clip factors instead of running a
-    # second weight-grad conv) — see _ghost_weighted_grads
-    return total, jnp.stack(gs, axis=1)  # (B, 16, 4C, co)
+    # second weight-grad conv) — see _ghost_weighted_grads. Stored
+    # bf16: the stack is pure HBM traffic (~550 MB/step across the
+    # per-tap layers at canonical batch); the norms above used the f32
+    # values, and the 2^-8 relative error on the clipped SUM is orders
+    # below the DP noise it feeds into.
+    return total, jnp.stack(gs, axis=1).astype(jnp.bfloat16)  # (B,16,4C,co)
 
 
 def _ghost_layer_stats(meta, captured, dtaps):
@@ -389,7 +393,7 @@ def _ghost_layer_stats(meta, captured, dtaps):
                                              preferred_element_type=f32))
                 G = jnp.stack(gs, axis=1)  # (B, kh*kw, cin, cout)
                 total = total + jnp.sum(jnp.square(G), axis=(1, 2, 3))
-                st["G"] = G
+                st["G"] = G.astype(jnp.bfloat16)  # see _stem_sq_norms note
         elif kind == "bias":
             df = dy.astype(f32)
             gb = jnp.sum(df, axis=tuple(range(1, dy.ndim - 1))) \
@@ -441,7 +445,8 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
                 # per-tap layers: sweep 1 already materialized the
                 # per-example weight gradient G (B, kh*kw, cin, cout) —
                 # the clipped sum is one contraction, no second conv
-                gw = jnp.einsum("b,btic->tic", factor, st["G"])
+                gw = jnp.einsum("b,btic->tic", factor.astype(jnp.bfloat16),
+                                st["G"], preferred_element_type=jnp.float32)
                 out.append((gw.reshape(m["wshape"]),))
                 continue
             if "G7" in st:
@@ -449,7 +454,8 @@ def _ghost_weighted_grads(meta, captured, dtaps, stats, factor):
                 # embedded kernel grid (position (2a+py, 2b+qx)) and
                 # crop the zero-pad row/col to the true 7x7 grad
                 C, co = m["wshape"][2], m["wshape"][3]
-                ws = jnp.einsum("b,btic->tic", factor, st["G7"])
+                ws = jnp.einsum("b,btic->tic", factor.astype(jnp.bfloat16),
+                                st["G7"], preferred_element_type=jnp.float32)
                 ws = (ws.reshape(4, 4, 2, 2, C, co)
                       .transpose(0, 2, 1, 3, 4, 5).reshape(8, 8, C, co))
                 out.append((ws[1:, 1:],))
