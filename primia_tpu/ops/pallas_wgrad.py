@@ -222,9 +222,18 @@ conv3x3_s1p1.defvjp(_fwd, _bwd)
 
 
 def use_pallas_wgrad() -> bool:
-    """Opt-in (PRIMIA_PALLAS_WGRAD=1): the v1 kernel is correct on the
-    chip but slower than XLA's wgrad (bench A/B 6,229 vs 8,053 img/s @
-    batch 512 — the per-chunk VMEM budget forces 2-4-image chunks whose
-    (n*H*W) contractions starve the MXU). Kept for the redesign."""
+    """Opt-in (PRIMIA_PALLAS_WGRAD=1). Both schedules are correct on
+    the chip and both LOSE to XLA's wgrad lowering — v1 6,229 and v2
+    6,625 vs 8,035 img/s baseline (bench A/B @ batch 512, medians).
+    v2 removed v1's HBM halo pads (+6%), but the remaining gap is
+    structural: the (3ci, 3co) f32 VMEM accumulator caps the batch
+    chunk at 1-4 images, whose (n*H*W)-row contractions under-tile the
+    MXU, and the in-VMEM X3/G3 shift-copies add ~6x the input volume
+    in VPU copy work that XLA's direct dilated-conv lowering never
+    pays. Blocking the accumulator to raise the chunk would push
+    accumulator partial sums through HBM and cost more than the one
+    read of x/g saves. The 3x3-wgrad roofline bucket is retired with
+    this bound (BASELINE.md round 5); the kernels stay as measured
+    documentation."""
     return (jax.default_backend() == "tpu"
             and os.environ.get("PRIMIA_PALLAS_WGRAD", "0") == "1")
