@@ -147,6 +147,41 @@ class MpcEngine:
         y = self._mul(S.sub(x, mean_b), scale_b)
         return self.bias_add(y, bias)
 
+    def group_norm(self, x: AShare, gamma: AShare, beta: AShare,
+                   groups: int = 32, eps: float = 1e-5) -> AShare:
+        """*Private* GroupNorm: per-example group statistics computed
+        entirely in share space. Serves models trained with
+        ``normalization=group`` (the DP-trainable variant) encrypted —
+        closing the train-private/serve-private loop; the reference can
+        neither DP-train (torchdp rejects its BN models) nor serve such
+        a model. Mechanism: group sums are linear over shares; the
+        1/n mean and (x-mu)^2 variance use one public product and one
+        Beaver square; rsqrt(var+eps) runs the same Newton iteration
+        as the private batch_norm above (``functions.inverse_sqrt``,
+        accurate for var in ~[1e-2, 200] — activation variances of
+        GN-sandwiched layers sit comfortably inside); the trainable
+        affine is the standard private channelwise scale+offset."""
+        from primia_tpu.mpc import functions as F
+
+        _, B, Hh, Ww, C = x.data.shape
+        G = min(groups, C)
+        n = Hh * Ww * (C // G)
+        xg = AShare(x.data.reshape(2, B, Hh * Ww, G, C // G))
+        mean = F.mul_public(
+            self.ctx, AShare(jnp.sum(xg.data, axis=(2, 4))), 1.0 / n)
+        mean_b = AShare(jnp.broadcast_to(
+            mean.data.reshape(2, B, 1, G, 1), xg.data.shape))
+        xc = S.sub(xg, mean_b)
+        sq = self._mul(xc, xc)
+        var = F.mul_public(
+            self.ctx, AShare(jnp.sum(sq.data, axis=(2, 4))), 1.0 / n)
+        inv = F.inverse_sqrt(
+            self.ctx, S.add_public(var, fixed.encode(eps, self.ctx.frac_bits)))
+        inv_b = AShare(jnp.broadcast_to(
+            inv.data.reshape(2, B, 1, G, 1), xg.data.shape))
+        xhat = AShare(self._mul(xc, inv_b).data.reshape(x.data.shape))
+        return self.affine(xhat, gamma, beta)
+
     def relu(self, x: AShare) -> AShare:
         sign = self.ctx.sign_shares(x)
         pos = S.add_public(S.neg(sign), 1)

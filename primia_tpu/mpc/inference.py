@@ -109,8 +109,14 @@ def build_encrypted_predict(
         k_model, k_data, k_online = jax.random.split(key, 3)
 
         # model owner: fold BN, fix precision, share (once, outside the
-        # tile loop — the parameter shares are batch-independent)
-        folded = fold_bn_tree(params, model_state)
+        # tile loop — the parameter shares are batch-independent).
+        # normalization=group keeps its raw {gamma, beta}: GN statistics
+        # are input-dependent, so the engine normalizes privately
+        # (mpc/engine.py:group_norm) instead of an offline fold
+        if getattr(args, "normalization", "batch") == "group":
+            folded = params
+        else:
+            folded = fold_bn_tree(params, model_state)
         shared_params = _pin_parties(encode_and_share(k_model, folded, frac))
 
         def forward_tile(operand):

@@ -303,11 +303,16 @@ def group_norm(E, x, params: Params, groups: int = 32, eps: float = 1e-5):
     the way inference BN is (``bn_fold``).
     """
     ename = getattr(E, "name", "")
+    if hasattr(E, "group_norm"):
+        # share-space engines compute the per-example statistics
+        # privately (mpc/engine.py:group_norm): GN cannot be folded
+        # offline like inference BN, but the Newton-rsqrt machinery
+        # runs it over shares — DP-trained models serve encrypted
+        return E.group_norm(x, params["gamma"], params["beta"],
+                            groups=groups, eps=eps)
     if ename not in ("plain", "ghost"):
         raise NotImplementedError(
-            "GroupNorm under share-space engines is not supported: its "
-            "statistics are input-dependent and cannot be folded offline "
-            "(train with normalization=batch for encrypted serving)")
+            f"GroupNorm is not implemented for engine {ename!r}")
     B, C = x.shape[0], x.shape[-1]
     G = min(groups, C)
     assert C % G == 0, f"channels {C} not divisible by groups {G}"

@@ -403,3 +403,58 @@ def test_fss_sign_shares_tiled_matches_untiled_semantics():
     s1 = sign_shares(jax.random.PRNGKey(4), x, tile=4096)
     np.testing.assert_array_equal(
         np.asarray(S.reconstruct(s1)), (v < 0).astype(np.int64))
+
+
+def test_engine_group_norm_matches_plain():
+    """Private GroupNorm over shares (mpc/engine.py:group_norm) vs the
+    plaintext group_norm: per-example group stats + Newton rsqrt +
+    private affine — the path that serves normalization=group
+    (DP-trained) models encrypted."""
+    from primia_tpu.nn.core import PLAIN, group_norm
+
+    E = MpcEngine(_ctx(31))
+    rng = np.random.default_rng(5)
+    x = rng.normal(0.0, 1.5, (3, 6, 6, 32)).astype(np.float32)
+    gamma = rng.normal(1.0, 0.2, 32).astype(np.float32)
+    beta = rng.normal(0.0, 0.2, 32).astype(np.float32)
+
+    want = np.asarray(group_norm(
+        PLAIN, jnp.asarray(x), {"gamma": jnp.asarray(gamma),
+                                "beta": jnp.asarray(beta)}, groups=8))
+    sx = S.share(jax.random.fold_in(KEY, 61), fixed.encode(x))
+    sg = S.share(jax.random.fold_in(KEY, 62), fixed.encode(gamma))
+    sb = S.share(jax.random.fold_in(KEY, 63), fixed.encode(beta))
+    got = np.asarray(reveal_and_decode(
+        E.group_norm(sx, sg, sb, groups=8)))
+    np.testing.assert_allclose(got, want, atol=0.03)
+
+
+@pytest.mark.slow
+def test_encrypted_groupnorm_resnet_matches_plaintext():
+    """End-to-end: a normalization=group resnet-18 (the DP-trainable
+    variant) serves ENCRYPTED — logits match plaintext within
+    fixed-point + Newton-rsqrt tolerance."""
+    from primia_tpu.config import Arguments
+    from primia_tpu.mpc.inference import build_encrypted_predict
+    from primia_tpu.nn import create_model
+    from primia_tpu.train.steps import build_predict_step
+
+    args = Arguments(model="resnet-18", train_resolution=32,
+                     inference_resolution=32, pooling_type="max",
+                     normalization="group")
+    md = create_model(args, num_classes=3)
+    params, state = md.init(jax.random.PRNGKey(0))
+    # zero-init head would make all logits 0; give it a real head
+    k = jax.random.PRNGKey(9)
+    params["fc"] = {"w": 0.1 * jax.random.normal(k, params["fc"]["w"].shape),
+                    "b": jnp.zeros_like(params["fc"]["b"])}
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, (2, 32, 32, 1), dtype=np.uint8)
+    mean, std = np.array([0.5]), np.array([0.25])
+
+    want = np.asarray(
+        build_predict_step(md, args, mean, std)(params, state, imgs))
+    enc = build_encrypted_predict(md, args, mean, std, seed=1)
+    got = np.asarray(enc(params, state, imgs))
+    assert np.abs(got - want).max() < 0.05
+    assert (got.argmax(1) == want.argmax(1)).all()
