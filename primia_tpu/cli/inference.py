@@ -32,10 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Perform encrypted inference",
     )
     parser.add_argument(
-        "--protocol", type=str, default="snn", choices=("snn", "fss"),
-        help="MPC comparison protocol for encrypted inference: snn "
-             "(SecureNN, mesh-colocated default) or fss (AriaNN DCF, "
-             "the reference's default — one online round, tiled keygen)",
+        "--protocol", type=str, default="fss", choices=("snn", "fss"),
+        help="MPC comparison protocol for encrypted inference: fss "
+             "(AriaNN DCF — the reference's default, and the fastest "
+             "path at the canonical 224 px since the fused merged-eval "
+             "kernel) or snn (SecureNN bit circuit — measured faster "
+             "for the 512 px zoo model, BASELINE.md round 5)",
     )
     parser.add_argument(
         "--websockets_config", default=None,
