@@ -58,6 +58,14 @@ federated_insecure:
 	@echo Federated training with plain FedAvg
 	python train.py --config $(CONFIG) --train_federated --data_dir $(DATA) --unencrypted_aggregation
 
+dp_local:
+	@echo DP-SGD training with the measured round-5 recipe (BASELINE.md)
+	python train.py --config configs/torch/pneumonia-conv-dp.ini --data_dir data/train
+
+dp_federated:
+	@echo Per-node DP-SGD + MPC secure aggregation (reference exits on this combo)
+	python train.py --config configs/torch/pneumonia-conv-dp-federated.ini --train_federated --data_dir $(DATA)
+
 federated_gridnode_secure:
 	python train.py --config $(CONFIG) --train_federated --websockets --data_dir $(DATA)
 
